@@ -1,0 +1,213 @@
+"""Pedestal removal with reference-exact sequential semantics.
+
+The reference subtracts, per line and *in processing order*, the minimum of
+the accumulated spectrum at the line's two window endpoints from the whole
+window (reference pyLBL/c_lib/spectra.c:66-78).  Because the accumulator is
+shared, the subtracted "pedestal" of line i includes the wings of every
+earlier line j < i — and the pedestals those lines already subtracted.  The
+result is genuinely order-dependent, and near grid edges the coupling is
+O(1) (each clamped window repeatedly re-zeroes the edge point), so no
+perturbative/iterative scheme converges.
+
+The TPU-native decomposition used here keeps ALL the expensive work (Voigt
+evaluations, windowed field accumulation, prefix contribution sums) fully
+data-parallel and reduces the inherently-sequential remainder to a scalar
+scan with O(window) state:
+
+For line i with endpoints p_s/p_e (integer-wavenumber grid points, clamped
+like spectra.c:49-62), the accumulated value decomposes as
+
+    k_acc_i(p)  =  [prefix contribution sum at p]  -  [prefix pedestal sum at p]
+
+* The prefix contribution sums are order-independent per-point sums that are
+  evaluated vectorized up front:
+   - interior left endpoint: K(p_s) - suffix_contrib(i), where K is the full
+     pedestal-free field (already computed by the main kernels) and the
+     suffix collects the few later lines whose windows reach p_s (all within
+     ~1 wavenumber of line i — a short local segment);
+   - interior right endpoint: a short local *prefix* segment (windows of
+     later buckets cannot reach it) plus the line's own contribution;
+   - clamped endpoints (grid edges): cumulative sums over the edge blocks.
+* The prefix pedestal sums are windowed sums over integer buckets: a window
+  anchored at bucket b covers p_s(b_i) iff b in [b_i - (2*cutoff+1), b_i]
+  and covers p_e(b_i) iff b in [b_i, b_i + 2*cutoff+1].  The scan maintains
+  per-bucket pedestal totals plus two edge accumulators and answers each
+  query with an O(window) slice sum — ~50 flops per line, no Voigt math.
+
+The scan reproduces the reference's sequential result to float64 round-off;
+verified against a compiled oracle of the unmodified reference C code in
+tests/test_lines_parity.py, including dense-cluster and grid-edge cases.
+"""
+import numpy as np
+
+from ...ops.voigt import voigt_full
+
+
+def _contrib_at(points, jmat, valid, center, scaled_repwid, y, prefactor):
+    """Evaluates masked line contributions at scalar grid points.
+
+    Args:
+        points: [B] grid-point indices (one per output row).
+        jmat: [B, M] gathered line indices (clipped to valid range).
+        valid: [B, M] bool mask.
+        center, scaled_repwid, y, prefactor: [N] per-line arrays
+            (center in grid-index units; scaled_repwid = repwid / n_per_v).
+
+    Returns:
+        [B, M] contributions prefactor_j * K_full(x_j(p), y_j), zeroed
+        where invalid.
+    """
+    points = np.asarray(points).reshape(-1, 1).astype(np.float64)
+    x = (points - center[jmat]) * scaled_repwid[jmat]
+    vals = prefactor[jmat] * voigt_full(x, y[jmat])
+    return np.where(valid, vals, 0.0)
+
+
+def compute_pedestals(k_nosub, kin, num_points, n_per_v, cut_off,
+                      chunk=8192):
+    """Computes the per-line pedestal values of the sequential reference.
+
+    Args:
+        k_nosub: [num_points] pedestal-free field (float64 numpy).
+        kin: dict with float64 per-line arrays in nu-sorted processing order:
+            nu_raw, nu_shift, center, repwid, y, prefactor, s_idx, e_idx,
+            bucket.
+        num_points: internal grid size.
+        n_per_v: points per wavenumber.
+        cut_off: wing cut-off [cm-1].
+
+    Returns:
+        ped: [N] pedestal value per line (0 for lines that contribute
+             nothing, i.e. s >= n or e < 0, reference spectra.c:49-53).
+    """
+    n = int(num_points)
+    nu_raw = kin["nu_raw"]
+    center = kin["center"]
+    srw = kin["repwid"] / n_per_v
+    y = kin["y"]
+    pref = kin["prefactor"]
+    s_idx = kin["s_idx"].astype(np.int64)
+    e_idx = kin["e_idx"].astype(np.int64)
+    b = kin["bucket"].astype(np.int64)
+    num = nu_raw.size
+    if num == 0:
+        return np.zeros(0)
+
+    skip = (s_idx >= n) | (e_idx < 0)
+    live = ~skip
+    p_s = np.clip(s_idx, 0, n - 1)
+    p_e = np.clip(e_idx, 0, n - 1)
+    left_clamp = s_idx < 0
+    right_clamp = e_idx > n - 1
+
+    margin = float(np.max(np.abs(kin["nu_shift"] - nu_raw))) + 1e-9
+
+    # ---- local segments (lines within ~1 wavenumber, in sorted order) ----
+    seg_start = np.searchsorted(nu_raw, b - margin, side="left")
+    seg_end = np.searchsorted(nu_raw, b + 1 + margin, side="right")
+    m_pre = int(np.max(np.arange(num) - seg_start + 1))
+    m_suf = max(int(np.max(seg_end - np.arange(num) - 1)) if num > 1 else 0,
+                1)
+
+    idx_all = np.arange(num)
+
+    def coverage(jm, p):
+        return (s_idx[jm] <= p[:, None]) & (e_idx[jm] >= p[:, None]) & \
+            live[jm]
+
+    # Vectorized prefix contribution terms (order-independent, parallel).
+    suf_contrib_s = np.zeros(num)
+    pre_contrib_e = np.zeros(num)
+    for lo in range(0, num, chunk):
+        hi = min(lo + chunk, num)
+        rows = idx_all[lo:hi]
+        # Suffix segment (i, seg_end): lines processed after i covering p_s.
+        raw = rows[:, None] + 1 + np.arange(m_suf)[None, :]
+        jm = np.minimum(raw, num - 1)
+        mask = (raw < seg_end[lo:hi, None]) & coverage(jm, p_s[lo:hi])
+        suf_contrib_s[lo:hi] = _contrib_at(
+            p_s[lo:hi], jm, mask, center, srw, y, pref).sum(axis=1)
+        # Prefix segment [seg_start, i]: own and earlier lines covering p_e.
+        raw = seg_start[lo:hi, None] + np.arange(m_pre)[None, :]
+        jm = np.minimum(raw, num - 1)
+        mask = (raw <= rows[:, None]) & coverage(jm, p_e[lo:hi])
+        pre_contrib_e[lo:hi] = _contrib_at(
+            p_e[lo:hi], jm, mask, center, srw, y, pref).sum(axis=1)
+
+    # Grid-edge blocks: exact inclusive-prefix contribution sums at the two
+    # boundary points (every covering line, cumulative in processing order).
+    cover0 = (s_idx <= 0) & (e_idx >= 0) & live
+    coverN = (s_idx <= n - 1) & (e_idx >= n - 1) & live
+    contrib0 = np.zeros(num)
+    contribN = np.zeros(num)
+    if cover0.any():
+        j0 = np.where(cover0)[0]
+        contrib0[j0] = _contrib_at(
+            np.zeros(1), j0[None, :], np.ones((1, j0.size), bool),
+            center, srw, y, pref)[0]
+    if coverN.any():
+        jn = np.where(coverN)[0]
+        contribN[jn] = _contrib_at(
+            np.full(1, n - 1), jn[None, :], np.ones((1, jn.size), bool),
+            center, srw, y, pref)[0]
+    cum0_incl = np.cumsum(contrib0)
+    cumN_incl = np.cumsum(contribN)
+
+    # Interior prefix contributions at p_s: full field minus later windows.
+    k_s_contrib = k_nosub[p_s] - suf_contrib_s
+
+    # ---- the sequential remainder: windowed pedestal bucket-sum scan ----
+    window = 2 * cut_off + 1
+    b_min = int(b.min())
+    n_buckets = int(b.max()) - b_min + 1
+    bucket_ped = np.zeros(n_buckets)
+    ped = np.zeros(num)
+    p0_running = 0.0   # pedestals of processed lines covering point 0.
+    pn_running = 0.0   # pedestals of processed lines covering point n-1.
+
+    bi_rel = (b - b_min).astype(np.int64)
+    lo_s = np.maximum(bi_rel - window, 0)
+    hi_e = np.minimum(bi_rel + window + 1, n_buckets)
+    sk = skip
+    lc = left_clamp
+    rc = right_clamp
+    c0 = cover0
+    cn = coverN
+
+    for i in range(num):
+        if sk[i]:
+            continue
+        if lc[i]:
+            k_s = cum0_incl[i] - p0_running
+        else:
+            k_s = k_s_contrib[i] - float(
+                bucket_ped[lo_s[i]:bi_rel[i] + 1].sum())
+        if rc[i]:
+            k_e = cumN_incl[i] - pn_running
+        else:
+            k_e = pre_contrib_e[i] - float(
+                bucket_ped[bi_rel[i]:hi_e[i]].sum())
+        value = k_s if k_s < k_e else k_e
+        ped[i] = value
+        bucket_ped[bi_rel[i]] += value
+        if c0[i]:
+            p0_running += value
+        if cn[i]:
+            pn_running += value
+    return ped
+
+
+def apply_pedestal(k_nosub, ped, s_idx, e_idx, num_points):
+    """Subtracts each line's pedestal over its clamped window.
+
+    Box subtraction via a difference array (O(num_points + N)), matching the
+    reference's per-window loop (spectra.c:73-77) summed over all lines.
+    """
+    n = int(num_points)
+    live = (s_idx < n) & (e_idx >= 0) & (ped != 0.0)
+    s = np.clip(s_idx[live], 0, n - 1)
+    e = np.clip(e_idx[live], 0, n - 1)
+    diff = np.zeros(n + 1)
+    np.add.at(diff, s, ped[live])
+    np.add.at(diff, e + 1, -ped[live])
+    return k_nosub - np.cumsum(diff[:n])

@@ -1,0 +1,167 @@
+"""Windowed Voigt summation — portable JAX path.
+
+Computes k[t] = sum_i prefactor_i * K(x_it, y_i) over each line's
+integer-aligned +/-cut_off window (reference pyLBL/c_lib/spectra.c:48-62,
+voigt.c:74-189) as two order-independent passes:
+
+1. wings: the cheap region-0 Lorentzian over the full window,
+2. core:  a narrow correction (K_full - K_lorentz) around each line center,
+   which is identically zero outside |x| < xlim0 (see ops/voigt.py).
+
+The passes are chunked over lines with ``lax.scan`` and accumulated with
+masked scatter-adds.  This path runs anywhere (CPU float64 for parity
+verification, TPU float32) and is the semantic reference for the Pallas
+TPU kernel in ops/lineshape_pallas.py.
+
+Precision note: x = (v - nu)*repwid suffers catastrophic cancellation if
+evaluated naively in float32 (v, nu ~ 1e3-4e4; v - nu ~ 1e-3).  The kernels
+therefore receive the line center in *grid-index units* split into an exact
+integer part and a small fractional part, so the subtraction happens between
+small same-scale numbers: x = ((t - c_int) - c_frac) * (repwid / n_per_v).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .voigt import XLIM0_MAX, voigt_correction, voigt_lorentz
+from ..utils.constants import SQRT_LN2
+
+
+def _pad_lines(arrays, multiple):
+    """Pads the line axis so it divides evenly into chunks.
+
+    Padded entries get prefactor 0 and a window placed at [-1, -1] so every
+    candidate point is dropped by masking.
+    """
+    n = arrays["prefactor"].shape[-1]
+    padded = -n % multiple
+    if padded == 0:
+        return arrays, n
+    def pad(name, value):
+        a = arrays[name]
+        width = [(0, 0)] * (a.ndim - 1) + [(0, padded)]
+        return np.pad(a, width, constant_values=value)
+    out = {
+        "c_int": pad("c_int", 0),
+        "c_frac": pad("c_frac", 0.0),
+        "scaled_repwid": pad("scaled_repwid", 1.0),
+        "y": pad("y", 1.0),
+        "prefactor": pad("prefactor", 0.0),
+        "s_idx": pad("s_idx", -1),
+        "e_idx": pad("e_idx", -2),
+    }
+    return out, n
+
+
+def prepare_kernel_arrays(kin, n_per_v, dtype):
+    """Converts float64 physics outputs to kernel dtype with split centers.
+
+    Args:
+        kin: dict from physics.kernel_inputs (float64, [N] or [B, N]).
+        n_per_v: grid points per wavenumber.
+        dtype: kernel dtype (np.float32 or np.float64).
+
+    Returns:
+        dict of arrays ready for :func:`accumulate`.
+    """
+    center = kin["center"]
+    c_int = np.rint(center).astype(np.int32)
+    c_frac = (center - c_int).astype(dtype)
+    return {
+        "c_int": c_int,
+        "c_frac": c_frac,
+        "scaled_repwid": (kin["repwid"] / n_per_v).astype(dtype),
+        "y": kin["y"].astype(dtype),
+        "prefactor": kin["prefactor"].astype(dtype),
+        "s_idx": kin["s_idx"].astype(np.int32),
+        "e_idx": kin["e_idx"].astype(np.int32),
+    }
+
+
+def core_halfwidth(kin, n_per_v, cut_off):
+    """Static core-window half width in grid points.
+
+    Covers |x| < XLIM0_MAX for every line with y < 70.55 (lines with larger y
+    are pure Lorentzian everywhere, reference voigt.c:17-27), clipped to the
+    wing window size (no correction can land outside the window).
+    """
+    y = np.asarray(kin["y"], dtype=np.float64)
+    repwid = np.asarray(kin["repwid"], dtype=np.float64)
+    needs = y < 70.55
+    if not needs.any():
+        return 1
+    # |delta v| < XLIM0_MAX / repwid  ->  points = that * n_per_v.
+    width = XLIM0_MAX / repwid[needs].min() * n_per_v
+    return int(min(np.ceil(width) + 1, (cut_off + 1) * n_per_v))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "window", "core_window", "chunk"))
+def _accumulate_jit(arrays, num_points, window, core_window, chunk):
+    """Two-pass masked scatter-add accumulation over line chunks."""
+    dtype = arrays["prefactor"].dtype
+    num_lines = arrays["prefactor"].shape[0]
+    num_chunks = num_lines // chunk
+    chunked = {k: v.reshape((num_chunks, chunk) + v.shape[1:])
+               for k, v in arrays.items()}
+
+    wing_offsets = jnp.arange(window, dtype=jnp.int32)
+    core_offsets = jnp.arange(-core_window, core_window + 1, dtype=jnp.int32)
+
+    def body(k, ch):
+        c_int = ch["c_int"][:, None]
+        c_frac = ch["c_frac"][:, None]
+        srw = ch["scaled_repwid"][:, None]
+        y = ch["y"][:, None]
+        pref = ch["prefactor"][:, None]
+        s = ch["s_idx"][:, None]
+        e = ch["e_idx"][:, None]
+        e_eff = jnp.minimum(e, num_points - 1)
+
+        # Wings: Lorentzian over the full window [s, e].
+        idx = s + wing_offsets[None, :]
+        x = ((idx - c_int).astype(dtype) - c_frac) * srw
+        vals = pref * voigt_lorentz(x, y)
+        mask = (idx >= 0) & (idx <= e_eff)
+        k = k.at[jnp.clip(idx, 0, num_points - 1).ravel()].add(
+            jnp.where(mask, vals, 0).ravel(), mode="drop")
+
+        # Core: Humlicek correction around the center, still window-masked.
+        idx = c_int + core_offsets[None, :]
+        x = ((idx - c_int).astype(dtype) - c_frac) * srw
+        vals = pref * voigt_correction(x, y)
+        mask = (idx >= 0) & (idx <= e_eff) & (idx >= s)
+        k = k.at[jnp.clip(idx, 0, num_points - 1).ravel()].add(
+            jnp.where(mask, vals, 0).ravel(), mode="drop")
+        return k, None
+
+    k0 = jnp.zeros((num_points,), dtype=dtype)
+    k, _ = jax.lax.scan(body, k0, chunked)
+    return k
+
+
+def accumulate(kernel_arrays, num_points, n_per_v, cut_off, chunk=2048):
+    """Sums all line contributions onto the internal spectral grid.
+
+    Args:
+        kernel_arrays: dict from :func:`prepare_kernel_arrays` ([N] arrays).
+        num_points: internal grid size (vn - v0) * n_per_v.
+        n_per_v: grid points per wavenumber.
+        cut_off: wing cut-off [cm-1].
+        chunk: lines per scan step (controls peak memory).
+
+    Returns:
+        jnp array [num_points] of absorption cross sections (same units as
+        the prefactor; m2 when physics supplied SI strengths).
+    """
+    window = (2 * cut_off + 1) * n_per_v + 1
+    repwid = np.asarray(kernel_arrays["scaled_repwid"], np.float64) * n_per_v
+    core_kin = {"y": kernel_arrays["y"], "repwid": repwid}
+    core_w = core_halfwidth(core_kin, n_per_v, cut_off)
+    chunk = int(min(chunk, max(kernel_arrays["prefactor"].shape[-1], 1)))
+    arrays, _ = _pad_lines(kernel_arrays, chunk)
+    return _accumulate_jit(arrays, int(num_points), int(window),
+                           int(core_w), chunk)

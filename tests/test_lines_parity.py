@@ -1,0 +1,95 @@
+"""End-to-end lines-engine parity against the compiled reference C oracle."""
+import numpy as np
+import pytest
+
+from pylbl_tpu.database.fixtures import synthetic_line_pack
+from pylbl_tpu.models.lines import Gas, internal_grid
+
+import oracle
+
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="reference sources not present")
+
+SURFACE = dict(temperature=288.99, pressure=98388.0, vmr=6.637074e-03)
+UPPER = dict(temperature=203.37, pressure=11419.0, vmr=3.039952e-06)
+
+
+def run_both(pack, grid, remove_pedestal, conditions=SURFACE, cut_off=25):
+    v0, vn, n_per_v, _ = internal_grid(grid)
+    gas = Gas(pack, pack.formula, dtype=np.float64)
+    ours = gas.absorption_coefficient(
+        conditions["temperature"], conditions["pressure"],
+        conditions["vmr"], grid, remove_pedestal=remove_pedestal,
+        cut_off=cut_off)
+    theirs = oracle.absorption(
+        pack, conditions["temperature"], conditions["pressure"],
+        conditions["vmr"], v0, vn, n_per_v, cut_off=cut_off,
+        remove_pedestal=remove_pedestal)
+    return np.asarray(ours), theirs
+
+
+@pytest.mark.parametrize("conditions", [SURFACE, UPPER],
+                         ids=["surface", "upper"])
+def test_lines_no_pedestal(conditions):
+    pack = synthetic_line_pack(num_lines=3000, seed=11)
+    grid = np.arange(1.0, 3000.0, 0.1)
+    ours, theirs = run_both(pack, grid, False, conditions)
+    # atol floor: where K_full << K_lorentz the split summation cancels and
+    # loses relative (not absolute) precision; spectrally irrelevant.
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9,
+                               atol=theirs.max() * 1e-13)
+
+
+@pytest.mark.parametrize("conditions", [SURFACE, UPPER],
+                         ids=["surface", "upper"])
+def test_lines_with_pedestal(conditions):
+    pack = synthetic_line_pack(num_lines=3000, seed=13)
+    grid = np.arange(1.0, 3000.0, 0.1)
+    ours, theirs = run_both(pack, grid, True, conditions)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8,
+                               atol=theirs.max() * 1e-12)
+
+
+def test_lines_dense_cluster_pedestal():
+    """Many overlapping windows: stresses the sequential-pedestal math."""
+    pack = synthetic_line_pack(num_lines=2500, nu_min=450.0, nu_max=550.0,
+                               seed=17, band_centers=(500.0,))
+    grid = np.arange(400.0 - 399.0, 700.0, 0.1) + 399.0  # 400..699.9
+    ours, theirs = run_both(pack, grid, True)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8,
+                               atol=theirs.max() * 1e-12)
+
+
+def test_lines_grid_edges():
+    """Lines straddling both grid edges exercise the clamped-window paths."""
+    pack = synthetic_line_pack(num_lines=800, nu_min=0.1, nu_max=160.0,
+                               seed=19, band_centers=(10.0, 120.0))
+    grid = np.arange(30.0, 100.0, 0.2)
+    for ped in (False, True):
+        ours, theirs = run_both(pack, grid, ped)
+        np.testing.assert_allclose(
+            ours, theirs, rtol=1e-8, atol=max(theirs.max(), 1e-300) * 1e-12)
+
+
+def test_compat_break_semantics():
+    """First out-of-range line stops processing entirely (absorption.c:80-83)."""
+    pack = synthetic_line_pack(num_lines=500, nu_min=0.5, nu_max=400.0,
+                               seed=23)
+    grid = np.arange(50.0, 300.0, 0.5)
+    ours, theirs = run_both(pack, grid, False)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9,
+                               atol=max(theirs.max(), 1e-300) * 1e-14)
+    # A grid starting above the first line reproduces the reference's
+    # break-not-continue quirk: nothing is computed at all.
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    assert pack.nu.min() < v0 - 26
+    assert np.array_equal(ours, np.zeros(num_points))
+
+
+def test_coarse_grid_resolution():
+    pack = synthetic_line_pack(num_lines=1500, seed=29)
+    grid = np.arange(1.0, 2500.0, 1.0)
+    ours, theirs = run_both(pack, grid, True)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8,
+                               atol=theirs.max() * 1e-12)
