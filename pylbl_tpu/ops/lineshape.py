@@ -94,7 +94,13 @@ def core_halfwidth(kin, n_per_v, cut_off):
         return 1
     # |delta v| < XLIM0_MAX / repwid  ->  points = that * n_per_v.
     width = XLIM0_MAX / repwid[needs].min() * n_per_v
-    return int(min(np.ceil(width) + 1, (cut_off + 1) * n_per_v))
+    width = int(min(np.ceil(width) + 1, (cut_off + 1) * n_per_v))
+    # Round up to the next power of two: the value is a jit-static shape, so
+    # quantizing it lets molecules with different Doppler widths share one
+    # compiled kernel (compile costs seconds; the extra masked points are
+    # nearly free).
+    return int(min(2 ** int(np.ceil(np.log2(max(width, 1)))),
+                   (cut_off + 1) * n_per_v))
 
 
 @functools.partial(
@@ -161,7 +167,10 @@ def accumulate(kernel_arrays, num_points, n_per_v, cut_off, chunk=2048):
     repwid = np.asarray(kernel_arrays["scaled_repwid"], np.float64) * n_per_v
     core_kin = {"y": kernel_arrays["y"], "repwid": repwid}
     core_w = core_halfwidth(core_kin, n_per_v, cut_off)
-    chunk = int(min(chunk, max(kernel_arrays["prefactor"].shape[-1], 1)))
+    # Bound the per-chunk working set (~chunk x window) and keep the chunk
+    # size a pure function of the window so every molecule sharing a grid
+    # shares one compiled kernel regardless of its line count.
+    chunk = int(np.clip(2 ** int(np.log2(4.0e6 / window)), 128, chunk))
     arrays, _ = _pad_lines(kernel_arrays, chunk)
     return _accumulate_jit(arrays, int(num_points), int(window),
                            int(core_w), chunk)

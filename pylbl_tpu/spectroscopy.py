@@ -1,0 +1,189 @@
+"""High-level spectroscopy API.
+
+Drop-in equivalent of the reference ``Spectroscopy``
+(reference pyLBL/spectroscopy.py:72-235): per-gas, per-mechanism absorption
+assembled into a Dataset with the same dims, units, mechanism ordering and
+output formats.  Structural differences are all on the compute side:
+
+- backends are resolved from the in-package registry (plugins.py) with the
+  same KeyError contract on unknown names;
+- molecular data (line packs, continuum tables, cross-section fits) is
+  loaded once per gas and reused across layers — the reference re-reads
+  sqlite and netCDF files inside the layer loop
+  (reference absorption.c:44-73, cross_section.py:30);
+- the per-layer lines computation shares one compiled kernel across layers
+  (identical static shapes), and a fully batched/sharded pipeline is
+  available in pylbl_tpu.parallel for large layer x column batches.
+"""
+from collections import namedtuple
+
+import numpy as np
+
+from .atmosphere import Atmosphere
+from .database.db import (AliasNotFoundError, CrossSectionNotFoundError,
+                          IsotopologuesNotFoundError, TipsDataNotFoundError,
+                          TransitionsNotFoundError)
+from .plugins import continua, cross_sections, molecular_lines
+from .utils.constants import KB
+from .utils.xrlite import DataArray, Dataset
+
+
+def number_density(temperature, pressure, volume_mixing_ratio):
+    """Ideal-gas number density [m-3] (reference spectroscopy.py:18-29)."""
+    return pressure * volume_mixing_ratio / (KB * temperature)
+
+
+class MoleculeCache:
+    """Per-molecule backend objects, loaded once and reused
+    (reference spectroscopy.py:32-69)."""
+
+    def __init__(self, name, grid, lines_database, lines_engine,
+                 continua_engine, cross_sections_engine):
+        try:
+            self.gas = lines_engine(lines_database, name)
+        except (AliasNotFoundError, IsotopologuesNotFoundError,
+                TipsDataNotFoundError, TransitionsNotFoundError):
+            self.gas = None
+        if name == "H2O":
+            names = [f"{name}{x}" for x in ["Foreign", "Self"]]
+        else:
+            names = [name]
+        try:
+            self.gas_continua = [continua_engine[x]() for x in names]
+        except KeyError:
+            self.gas_continua = None
+        try:
+            self.cross_section = cross_sections_engine(
+                name, lines_database.arts_crossfit(name))
+        except (AliasNotFoundError, CrossSectionNotFoundError):
+            self.cross_section = None
+
+
+class Spectroscopy:
+    """Line-by-line gas optics (API-compatible with the reference)."""
+
+    def __init__(self, atmosphere, grid, database, mapping=None,
+                 lines_backend="pyLBL", continua_backend="mt_ckd",
+                 cross_sections_backend="arts_crossfit"):
+        """Initializes the object.
+
+        Args:
+            atmosphere: dataset describing atmospheric conditions
+                (xarray.Dataset or pylbl_tpu Dataset).
+            grid: wavenumber grid array [cm-1].
+            database: Database object.
+            mapping: optional dict mapping variable names
+                (reference spectroscopy.py:93-103).
+            lines_backend / continua_backend / cross_sections_backend:
+                string backend names; unknown names raise KeyError.
+        """
+        self.atmosphere = Atmosphere(atmosphere, mapping=mapping)
+        self.grid = np.asarray(grid)
+        self.lines_database = database
+        self.lines_backend = lines_backend
+        self.lines_engine = molecular_lines[lines_backend]
+        self.continua_backend = continua_backend
+        self.continua_engine = continua[continua_backend]
+        self.cross_sections_backend = cross_sections_backend
+        self.cross_sections_engine = cross_sections[cross_sections_backend]
+        self.cache = {}
+
+        Output = namedtuple("Output",
+                            ["dims", "dim_sizes", "mechanisms", "units"])
+        mechanisms = ["lines", "continuum", "cross_section"]
+        dims = list(self.atmosphere.temperature.dims) + \
+            ["mechanism", "wavenumber"]
+        dim_sizes = [x for x in self.atmosphere.temperature.sizes.values()] \
+            + [len(mechanisms), self.grid.size]
+        self.output = Output(dims=dims, dim_sizes=dim_sizes,
+                             mechanisms=mechanisms, units={"units": "m-1"})
+
+    def list_molecules(self):
+        """Molecules available in the spectral database."""
+        return self.lines_database.molecules()
+
+    def compute_absorption(self, output_format="all", remove_pedestal=None):
+        """Computes absorption [m-1] for every gas/layer/mechanism.
+
+        Args:
+            output_format: "all" (per gas, per mechanism), "gas" (per gas,
+                mechanism-summed), anything else = single total
+                "absorption" variable (reference spectroscopy.py:144-235).
+            remove_pedestal: override the default (True iff the continuum
+                backend is mt_ckd, reference spectroscopy.py:163-164).
+
+        Returns:
+            Dataset of absorption coefficients [m-1].
+        """
+        pressure = np.asarray(self.atmosphere.pressure.data,
+                              dtype=np.float64).ravel()
+        temperature = np.asarray(self.atmosphere.temperature.data,
+                                 dtype=np.float64).ravel()
+        if remove_pedestal is None:
+            remove_pedestal = self.continua_backend == "mt_ckd"
+        beta = {}
+        num_states = temperature.size
+        shape = np.asarray(self.atmosphere.temperature.data).shape
+        for name, mole_fraction in self.atmosphere.gases.items():
+            varname = f"{name}_absorption"
+            beta[varname] = DataArray(np.zeros(self.output.dim_sizes),
+                                      dims=self.output.dims,
+                                      attrs=self.output.units)
+            data = self.cache.get(name)
+            if data is None:
+                data = MoleculeCache(name, self.grid, self.lines_database,
+                                     self.lines_engine, self.continua_engine,
+                                     self.cross_sections_engine)
+                self.cache[name] = data
+            fraction = np.asarray(mole_fraction.data,
+                                  dtype=np.float64).ravel()
+            for i in range(num_states):
+                vmr = {x: np.asarray(y.data).flat[i]
+                       for x, y in self.atmosphere.gases.items()}
+                n = number_density(temperature[i], pressure[i], fraction[i])
+                j = np.unravel_index(i, shape)
+
+                if data.gas is not None:
+                    k = data.gas.absorption_coefficient(
+                        temperature[i], pressure[i], fraction[i], self.grid,
+                        remove_pedestal=remove_pedestal)
+                    indices = tuple(list(j) + [0, slice(None)])
+                    beta[varname].values[indices] = n * k[:self.grid.size]
+
+                if data.gas_continua is not None:
+                    indices = tuple(list(j) + [1, slice(None)])
+                    for continuum in data.gas_continua:
+                        k = continuum.spectra(temperature[i], pressure[i],
+                                              vmr, self.grid)
+                        beta[varname].values[indices] += k[:]
+
+                if data.cross_section is not None:
+                    k = data.cross_section.absorption_coefficient(
+                        self.grid, temperature[i], pressure[i])
+                    indices = tuple(list(j) + [2, slice(None)])
+                    beta[varname].values[indices] = n * k[:]
+        return self._create_output_dataset(beta, output_format)
+
+    def _create_output_dataset(self, absorption, output_format):
+        """Assembles the output Dataset (reference spectroscopy.py:208-235)."""
+        wavenumber = DataArray(self.grid, dims=("wavenumber",),
+                               attrs={"units": "cm-1"})
+        data_vars = {"wavenumber": wavenumber}
+        dims = list(self.output.dims)
+        units = self.output.units
+        if output_format == "all":
+            data_vars["mechanism"] = DataArray(
+                np.asarray(self.output.mechanisms), dims=("mechanism",))
+            data_vars.update(absorption)
+        elif output_format == "gas":
+            dims.pop(-2)
+            data_vars.update({
+                x: DataArray(np.sum(y.values, axis=-2), dims=dims,
+                             attrs=units)
+                for x, y in absorption.items()})
+        else:
+            dims.pop(-2)
+            data = [np.sum(x.values, axis=-2) for x in absorption.values()]
+            data_vars["absorption"] = DataArray(sum(data), dims=dims,
+                                                attrs=units)
+        return Dataset(data_vars=data_vars)
