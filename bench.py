@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: Voigt line-summation throughput on one TPU chip.
+
+Workload: an H2O-scale synthetic line list (300k lines) on the quickstart
+config-2 grid (1-5000 cm-1 at 0.1 cm-1; 50k points), the same shape as the
+reference's hottest path (pyLBL C loop, absorption.c:76-87).  Measures the
+Pallas two-pass kernel's steady-state rate in masked line-point evaluations
+per second (each line covers a (2*cutoff+1) cm-1 window, reference
+spectra.c:48-62).
+
+vs_baseline: ratio against the reference C implementation's single-core
+rate, measured live by running the unmodified reference voigt.c/spectra.c
+(compiled via tests/oracle) on a subsample of the same workload.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent / "tests"))
+
+from pylbl_tpu.database.fixtures import synthetic_line_pack  # noqa: E402
+from pylbl_tpu.models.lines import internal_grid  # noqa: E402
+from pylbl_tpu.models.lines.physics import (kernel_inputs,  # noqa: E402
+                                            line_profile_params)
+from pylbl_tpu.ops import lineshape  # noqa: E402
+from pylbl_tpu.ops.lineshape_pallas import accumulate_tpu  # noqa: E402
+
+TEMPERATURE = 288.99  # surface layer of the canonical test column.
+PRESSURE = 98388.0
+VMR = 6.637074e-03
+CUT_OFF = 25
+
+
+def build_workload(num_lines=300000):
+    pack = synthetic_line_pack(
+        num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
+        band_centers=(150.0, 1600.0, 3700.0, 500.0))
+    grid = np.arange(1.0, 5000.0, 0.1)
+    return pack, grid
+
+
+def tpu_rate(pack, grid, reps=5):
+    v0, vn, n_per_v, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, CUT_OFF)
+    params = line_profile_params(pack, TEMPERATURE, PRESSURE, VMR, keep=keep)
+    kin = kernel_inputs(params, v0, n_per_v, CUT_OFF)
+    arrays = lineshape.prepare_kernel_arrays(kin, n_per_v, np.float32)
+    k = accumulate_tpu(arrays, kin, n, n_per_v, CUT_OFF)
+    k.block_until_ready()   # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        k = accumulate_tpu(arrays, kin, n, n_per_v, CUT_OFF)
+        k.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
+    return evals / best, float(np.asarray(k).max())
+
+
+def reference_rate(grid, num_lines=20000):
+    """Single-core rate of the unmodified reference C code (lines/s scaled
+    to evals/s on the same window size)."""
+    try:
+        import oracle
+        if not oracle.available():
+            return None
+        pack = synthetic_line_pack(
+            num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
+            band_centers=(150.0, 1600.0, 3700.0, 500.0))
+        v0, vn, n_per_v, _ = internal_grid(grid)
+        keep = pack.compat_break_filter(v0, vn, CUT_OFF)
+        t0 = time.perf_counter()
+        oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
+                          n_per_v, cut_off=CUT_OFF)
+        dt = time.perf_counter() - t0
+        evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
+        return evals / dt
+    except Exception:
+        return None
+
+
+def main():
+    pack, grid = build_workload()
+    rate, max_k = tpu_rate(pack, grid)
+    ref = reference_rate(grid)
+    vs_baseline = rate / ref if ref else 1.0
+    print(json.dumps({
+        "metric": "voigt_line_point_evals_per_s",
+        "value": round(rate, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,7 @@ class Gas:
         formula: string chemical formula.
     """
 
-    def __init__(self, lines_database, formula, dtype=None):
+    def __init__(self, lines_database, formula, dtype=None, backend="auto"):
         """Initializes the engine.
 
         Args:
@@ -50,6 +50,8 @@ class Gas:
             formula: string chemical formula.
             dtype: kernel dtype; default float64 when JAX x64 is enabled,
                 else float32.
+            backend: "pallas" (TPU tile kernels), "xla" (portable
+                scatter-add path), or "auto" (pallas on TPU devices).
         """
         if isinstance(lines_database, LinePack):
             self.pack = lines_database
@@ -58,6 +60,14 @@ class Gas:
         self.formula = formula
         self.database = getattr(lines_database, "path", None)
         self._dtype = dtype
+        self.backend = backend
+
+    def _resolve_backend(self):
+        if self.backend != "auto":
+            return self.backend
+        import jax
+        return "pallas" if jax.default_backend() in ("tpu", "axon") \
+            else "xla"
 
     @property
     def dtype(self):
@@ -97,10 +107,19 @@ class Gas:
         params = line_profile_params(self.pack, temperature, pressure,
                                      volume_mixing_ratio, keep=keep)
         kin = kernel_inputs(params, v0, n_per_v, cut_off)
-        arrays = lineshape.prepare_kernel_arrays(kin, n_per_v, self.dtype)
-        k = np.asarray(
-            lineshape.accumulate(arrays, num_points, n_per_v, cut_off),
-            dtype=np.float64)
+        if self._resolve_backend() == "pallas":
+            from ...ops.lineshape_pallas import accumulate_tpu
+            arrays = lineshape.prepare_kernel_arrays(kin, n_per_v,
+                                                     np.float32)
+            k = np.asarray(
+                accumulate_tpu(arrays, kin, num_points, n_per_v, cut_off),
+                dtype=np.float64)
+        else:
+            arrays = lineshape.prepare_kernel_arrays(kin, n_per_v,
+                                                     self.dtype)
+            k = np.asarray(
+                lineshape.accumulate(arrays, num_points, n_per_v, cut_off),
+                dtype=np.float64)
         if remove_pedestal:
             kin_ped = dict(kin)
             kin_ped["nu_raw"] = self.pack.nu[:keep]

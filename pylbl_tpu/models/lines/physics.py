@@ -71,18 +71,24 @@ class LinePack:
         """Per-line partition function Q(T) via the reference C interpolation
         (uniform 1 K table indexing, reference spectral_database.c:97-104).
 
+        Interpolates once per isotopologue slot, then gathers per line —
+        O(n_iso * nT + N) instead of materializing an [N, nT] table.
+
         Args:
             temperature: scalar or [B] array of temperatures.
 
         Returns:
             [N] or [B, N] array of Q values.
         """
-        rows = self.q_table[np.clip(self.iso - 1, 0,
-                                    self.q_table.shape[0] - 1)]  # [N, nT]
+        slot = np.clip(self.iso - 1, 0, self.q_table.shape[0] - 1)
         t = np.asarray(temperature, dtype=np.float64)
         if t.ndim == 0:
-            return interp_uniform(self.q_temperature, rows, t)
-        return interp_uniform(self.q_temperature, rows, t[:, None])
+            q_slots = interp_uniform(self.q_temperature, self.q_table, t)
+            return q_slots[slot]
+        # [n_iso, B] -> gather lines -> [B, N].
+        q_slots = interp_uniform(self.q_temperature,
+                                 self.q_table[:, None, :], t[None, :])
+        return q_slots[slot, :].T
 
     def compat_break_filter(self, v0, vn, cut_off):
         """Replicates the reference's sequential early-exit semantics.
