@@ -103,16 +103,25 @@ def core_halfwidth(kin, n_per_v, cut_off):
                    (cut_off + 1) * n_per_v))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_points", "window", "core_window", "chunk"))
-def _accumulate_jit(arrays, num_points, window, core_window, chunk):
-    """Two-pass masked scatter-add accumulation over line chunks."""
+def _accumulate_impl(arrays, origin, num_points, total_points, window,
+                     core_window, chunk):
+    """Two-pass masked scatter-add accumulation over line chunks.
+
+    Args:
+        arrays: dict of [N] kernel arrays (N a multiple of chunk).
+        origin: first global grid index owned by this output segment
+            (0 for an unsharded run; a traced offset under shard_map when
+            the spectral axis is domain-decomposed).
+        num_points: local output segment size.
+        total_points: global grid size (the reference clamps windows to the
+            *global* upper edge, spectra.c:58-62).
+    """
     dtype = arrays["prefactor"].dtype
     num_lines = arrays["prefactor"].shape[0]
     num_chunks = num_lines // chunk
     chunked = {k: v.reshape((num_chunks, chunk) + v.shape[1:])
                for k, v in arrays.items()}
+    origin = jnp.asarray(origin, dtype=jnp.int32)
 
     wing_offsets = jnp.arange(window, dtype=jnp.int32)
     core_offsets = jnp.arange(-core_window, core_window + 1, dtype=jnp.int32)
@@ -125,28 +134,70 @@ def _accumulate_jit(arrays, num_points, window, core_window, chunk):
         pref = ch["prefactor"][:, None]
         s = ch["s_idx"][:, None]
         e = ch["e_idx"][:, None]
-        e_eff = jnp.minimum(e, num_points - 1)
+        e_eff = jnp.minimum(e, total_points - 1)
 
-        # Wings: Lorentzian over the full window [s, e].
+        # Wings: Lorentzian over the full window [s, e].  The mask must
+        # include the local segment bounds: scatter values are zeroed (not
+        # just index-dropped) because negative JAX scatter indices wrap.
         idx = s + wing_offsets[None, :]
+        local = idx - origin
         x = ((idx - c_int).astype(dtype) - c_frac) * srw
         vals = pref * voigt_lorentz(x, y)
-        mask = (idx >= 0) & (idx <= e_eff)
-        k = k.at[jnp.clip(idx, 0, num_points - 1).ravel()].add(
+        mask = (idx >= 0) & (idx <= e_eff) & (local >= 0) & \
+            (local < num_points)
+        k = k.at[jnp.clip(local, 0, num_points - 1).ravel()].add(
             jnp.where(mask, vals, 0).ravel(), mode="drop")
 
         # Core: Humlicek correction around the center, still window-masked.
         idx = c_int + core_offsets[None, :]
+        local = idx - origin
         x = ((idx - c_int).astype(dtype) - c_frac) * srw
         vals = pref * voigt_correction(x, y)
-        mask = (idx >= 0) & (idx <= e_eff) & (idx >= s)
-        k = k.at[jnp.clip(idx, 0, num_points - 1).ravel()].add(
+        mask = (idx >= 0) & (idx <= e_eff) & (idx >= s) & (local >= 0) & \
+            (local < num_points)
+        k = k.at[jnp.clip(local, 0, num_points - 1).ravel()].add(
             jnp.where(mask, vals, 0).ravel(), mode="drop")
         return k, None
 
-    k0 = jnp.zeros((num_points,), dtype=dtype)
+    # Adding origin*0 tags the carry with the same varying manual axes as
+    # the body output when running under shard_map (origin derives from
+    # axis_index); it is a no-op numerically and outside shard_map.
+    k0 = jnp.zeros((num_points,), dtype=dtype) + origin.astype(dtype) * 0
     k, _ = jax.lax.scan(body, k0, chunked)
     return k
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_points", "window", "core_window", "chunk"))
+def _accumulate_jit(arrays, num_points, window, core_window, chunk):
+    return _accumulate_impl(arrays, 0, num_points, num_points, window,
+                            core_window, chunk)
+
+
+def accumulate_segment(arrays, origin, num_points, total_points, window,
+                       core_window, chunk):
+    """Jit-friendly segment accumulation over possibly-batched arrays.
+
+    ``arrays`` leaves may carry a leading layer-batch axis [B, N]; the
+    output is then [B, num_points].  Used by the sharded pipeline
+    (pylbl_tpu.parallel), where ``origin`` is the shard's global offset.
+    """
+    if arrays["prefactor"].ndim == 2:
+        return jax.vmap(
+            lambda a: _accumulate_impl(a, origin, num_points, total_points,
+                                       window, core_window, chunk))(arrays)
+    return _accumulate_impl(arrays, origin, num_points, total_points,
+                            window, core_window, chunk)
+
+
+def static_params(kin, n_per_v, cut_off, chunk=2048):
+    """Derives the jit-static parameters (window sizes, chunk) for a pack."""
+    window = (2 * cut_off + 1) * n_per_v + 1
+    core_w = core_halfwidth(
+        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
+    chunk = int(np.clip(2 ** int(np.log2(4.0e6 / window)), 128, chunk))
+    return window, core_w, chunk
 
 
 def accumulate(kernel_arrays, num_points, n_per_v, cut_off, chunk=2048):

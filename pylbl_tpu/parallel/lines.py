@@ -1,0 +1,205 @@
+"""Sharded, jittable line-absorption pipeline.
+
+End-to-end device computation of absorption spectra for a layer batch on a
+(batch, spec) mesh:
+
+- line physics (strength scaling, broadening, TIPS interpolation — the
+  jnp mirror of models/lines/physics.py, reference spectra.c:17-45) runs
+  replicated per batch shard, vectorized over its local layers;
+- the spectral axis is domain-decomposed: every device owns a contiguous
+  slab of the wavenumber grid and accumulates exactly the lines whose
+  integer-aligned windows reach its slab.  Line inputs are replicated
+  (line lists are tiny next to spectra: ~10 MB vs GBs of output for
+  RFMIP-scale configs), so no halo exchange of *outputs* is ever needed —
+  the physics-fixed window makes every shard's sum self-contained.
+
+Precision note: the host path (models/lines/gas.py) computes physics in
+float64 and is the bit-for-tolerance-parity path.  This device path keeps
+line centers accurate in float32 by storing each line's grid-coordinate
+center as an exact integer part plus fractional part precomputed on the
+host for the target grid; only the (tiny) pressure-shift displacement is
+computed on device.
+"""
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .mesh import BATCH_AXIS, SPEC_AXIS
+from ..ops import lineshape
+from ..utils import constants as c
+
+
+def device_line_pack(pack, grid, keep=None, cut_off=c.DEFAULT_CUT_OFF):
+    """Prepares device-resident per-line arrays for a target grid.
+
+    Args:
+        pack: LinePack (host, float64).
+        grid: target user grid (fixes v0/n_per_v for the split-center
+            representation).
+        keep: optional compat-break line count
+            (pack.compat_break_filter result).
+
+    Returns:
+        (arrays dict of np.float32/[int32] arrays, static dict).
+    """
+    from ..models.lines.gas import internal_grid
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    if keep is None:
+        keep = pack.compat_break_filter(v0, vn, cut_off)
+    sl = slice(0, keep)
+    center64 = (pack.nu[sl] - v0) * n_per_v
+    c_base_int = np.rint(center64)
+    arrays = {
+        "c_base_int": c_base_int.astype(np.float32),
+        "c_base_frac": (center64 - c_base_int).astype(np.float32),
+        "nu": pack.nu[sl].astype(np.float32),
+        "sw": pack.sw[sl].astype(np.float32),
+        "gamma_air": pack.gamma_air[sl].astype(np.float32),
+        "gamma_self": pack.gamma_self[sl].astype(np.float32),
+        "n_air": pack.n_air[sl].astype(np.float32),
+        "delta_air": pack.delta_air[sl].astype(np.float32),
+        "elower": pack.elower[sl].astype(np.float32),
+        "mass": pack.mass[sl].astype(np.float32),
+        "q_row": np.clip(pack.iso[sl] - 1, 0,
+                         pack.q_table.shape[0] - 1).astype(np.int32),
+        "q_table": pack.q_table.astype(np.float32),
+    }
+    static = {"v0": v0, "vn": vn, "n_per_v": n_per_v,
+              "num_points": num_points, "cut_off": cut_off,
+              "q_t0": float(pack.q_temperature[0]),
+              "num_lines": int(keep)}
+    return arrays, static
+
+
+def _q_interp(q_table, q_t0, q_row, temperature):
+    """Uniform-grid TIPS interpolation (reference spectral_database.c:97-104),
+    per isotopologue slot then gathered per line."""
+    i = jnp.clip(jnp.floor(temperature).astype(jnp.int32) - int(q_t0), 0,
+                 q_table.shape[-1] - 2)
+    lo = q_table[:, i]
+    hi = q_table[:, i + 1]
+    frac = temperature - (i + int(q_t0))
+    q_slots = lo + (hi - lo) * frac
+    return q_slots[q_row]
+
+
+def line_kernel_arrays(arrays, static, temperature, pressure,
+                       volume_mixing_ratio):
+    """Jittable physics: scalar T/p/vmr -> kernel arrays for one layer.
+
+    Mirrors reference spectra.c:17-45 and physics.kernel_inputs.
+    """
+    n_per_v = static["n_per_v"]
+    cut_off = static["cut_off"]
+    v0 = static["v0"]
+
+    p_atm = pressure * c.PA_TO_ATM
+    partial = p_atm * volume_mixing_ratio
+    tfact = 296.0 / temperature
+
+    shift = p_atm * arrays["delta_air"]
+    gamma = (arrays["gamma_air"] * (p_atm - partial)
+             + arrays["gamma_self"] * partial) * tfact ** arrays["n_air"]
+    alpha = (arrays["nu"] / c.VLIGHT) * jnp.sqrt(
+        c.R2 * temperature / arrays["mass"])
+
+    sb = jnp.exp(arrays["elower"] * c.C2 * (temperature - 296.0)
+                 / (temperature * 296.0))
+    g = jnp.exp((-c.C2 * arrays["nu"]) / temperature)
+    gref = jnp.exp((-c.C2 * arrays["nu"]) / 296.0)
+    se = (1.0 - g) / (1.0 - gref)
+    q_t = _q_interp(arrays["q_table"], static["q_t0"], arrays["q_row"],
+                    temperature)
+    q_ref = _q_interp(arrays["q_table"], static["q_t0"], arrays["q_row"],
+                      jnp.asarray(296.0, q_t.dtype))
+    sw = arrays["sw"] * sb * se * (q_ref / q_t) * 1.0e-4
+
+    repwid = jnp.asarray(c.SQRT_LN2, gamma.dtype) / alpha
+    dc = shift * n_per_v
+    center = arrays["c_base_int"] + (arrays["c_base_frac"] + dc)
+    bucket = jnp.floor(center / n_per_v + v0)
+    s_idx = ((bucket - cut_off - v0) * n_per_v).astype(jnp.int32)
+    e_idx = ((bucket + cut_off + 1 - v0) * n_per_v).astype(jnp.int32)
+    return {
+        "c_int": arrays["c_base_int"].astype(jnp.int32),
+        "c_frac": arrays["c_base_frac"] + dc,
+        "scaled_repwid": repwid / n_per_v,
+        "y": repwid * gamma,
+        "prefactor": sw * c.RSQRPI * repwid,
+        "s_idx": s_idx,
+        "e_idx": e_idx,
+    }
+
+
+def _pad_to_chunk(kernel_arrays, chunk):
+    num = kernel_arrays["prefactor"].shape[-1]
+    pad = -num % chunk
+    if pad == 0:
+        return kernel_arrays
+    def padded(name, value):
+        a = kernel_arrays[name]
+        width = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, width, constant_values=value)
+    return {
+        "c_int": padded("c_int", 0),
+        "c_frac": padded("c_frac", 0.0),
+        "scaled_repwid": padded("scaled_repwid", 1.0),
+        "y": padded("y", 1.0),
+        "prefactor": padded("prefactor", 0.0),
+        "s_idx": padded("s_idx", -1),
+        "e_idx": padded("e_idx", -2),
+    }
+
+
+def make_sharded_step(arrays, static, mesh, kin=None, chunk=512):
+    """Builds the jitted multi-device absorption step.
+
+    Returns (step_fn, in_shardings_hint) where
+    ``step_fn(arrays, temperature[B], pressure[B], vmr[B]) -> [B, n_pad]``
+    computes number-density-weighted absorption [m-1] with the batch axis
+    sharded over "batch" and the spectral axis over "spec".
+
+    The grid is padded so the spectral axis divides evenly; callers slice
+    to num_points.
+    """
+    spec = mesh.shape[SPEC_AXIS]
+    num_points = static["num_points"]
+    local_n = -(-num_points // spec)
+    padded_n = local_n * spec
+    window = (2 * static["cut_off"] + 1) * static["n_per_v"] + 1
+    if kin is not None:
+        core_w = lineshape.core_halfwidth(kin, static["n_per_v"],
+                                          static["cut_off"])
+    else:
+        core_w = min(128, (static["cut_off"] + 1) * static["n_per_v"])
+
+    def shard_fn(arrays, temperature, pressure, vmr):
+        origin = jax.lax.axis_index(SPEC_AXIS) * local_n
+
+        def one_layer(t, p, x):
+            ka = _pad_to_chunk(
+                line_kernel_arrays(arrays, static, t, p, x), chunk)
+            # Tag the origin with the batch axis too so the scan carry's
+            # varying-axes match its body under shard_map.
+            origin_v = origin + (t * 0).astype(jnp.int32)
+            k = lineshape.accumulate_segment(
+                ka, origin_v, local_n, num_points, window, core_w, chunk)
+            n_density = p * x / (c.KB * t)
+            return n_density * k
+
+        return jax.vmap(one_layer)(temperature, pressure, vmr)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS, SPEC_AXIS))
+
+    @jax.jit
+    def step(arrays, temperature, pressure, vmr):
+        return fn(arrays, temperature, pressure, vmr)
+
+    return step, {"padded_points": padded_n, "local_points": local_n}

@@ -7,9 +7,6 @@ before jax is imported anywhere.
 """
 import os
 
-# Force-override: the session presets JAX_PLATFORMS=axon (the TPU tunnel);
-# unit tests must run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Force CPU *after* importing jax: the environment's axon sitecustomize
+# calls register() at interpreter start and overwrites jax_platforms, so
+# the JAX_PLATFORMS env var alone is silently ignored.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from collections import namedtuple  # noqa: E402

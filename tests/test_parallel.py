@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from pylbl_tpu.database.fixtures import synthetic_line_pack
+from pylbl_tpu.models.lines import Gas, internal_grid
+from pylbl_tpu.parallel import device_line_pack, make_mesh, make_sharded_step
+from pylbl_tpu.spectroscopy import number_density
+
+
+@pytest.fixture(scope="module")
+def workload():
+    pack = synthetic_line_pack(num_lines=400, nu_min=0.6, nu_max=360.0,
+                               seed=31)
+    grid = np.arange(1.0, 320.0, 0.5)
+    return pack, grid
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices()) == 8
+    assert set(mesh.axis_names) == {"batch", "spec"}
+
+
+@pytest.mark.parametrize("batch,spec", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_step_matches_host_engine(workload, batch, spec):
+    pack, grid = workload
+    mesh = make_mesh(batch=batch, spec=spec)
+    arrays, static = device_line_pack(pack, grid)
+    kin = {"y": None, "repwid": None}
+    # Use host physics for the core-window sizing.
+    from pylbl_tpu.models.lines.physics import (kernel_inputs,
+                                                line_profile_params)
+    params = line_profile_params(pack, 288.99, 98388.0, 6.6e-3,
+                                 keep=static["num_lines"])
+    kin = kernel_inputs(params, static["v0"], static["n_per_v"],
+                        static["cut_off"])
+
+    step, info = make_sharded_step(arrays, static, mesh,
+                                   kin={"y": kin["y"],
+                                        "repwid": kin["repwid"]})
+    temperature = np.asarray([288.99, 269.01, 227.74, 203.37])
+    pressure = np.asarray([98388.0, 117.0, 1032.0, 11419.0])
+    vmr = np.asarray([6.637074e-03, 5.244536e-06, 4.763972e-06,
+                      3.039952e-06])
+    arrays_f32 = jax.tree.map(lambda a: np.asarray(a), arrays)
+    out = np.asarray(step(arrays_f32, temperature.astype(np.float32),
+                          pressure.astype(np.float32),
+                          vmr.astype(np.float32)))
+    assert out.shape == (4, info["padded_points"])
+    out = out[:, :static["num_points"]]
+
+    gas = Gas(pack, pack.formula, dtype=np.float64, backend="xla")
+    for i in range(4):
+        k = gas.absorption_coefficient(temperature[i], pressure[i], vmr[i],
+                                       grid)
+        expected = number_density(temperature[i], pressure[i], vmr[i]) * k
+        scale = max(expected.max(), 1e-300)
+        rel = np.abs(out[i] - expected) / np.maximum(np.abs(expected),
+                                                     scale * 1e-6)
+        # float32 device physics vs float64 host physics.
+        assert rel.max() < 5e-4
+
+
+def test_sharded_step_batch_padding_invariance(workload):
+    """Different mesh splits produce identical results."""
+    pack, grid = workload
+    arrays, static = device_line_pack(pack, grid)
+    outs = []
+    for batch, spec in [(2, 4), (1, 8)]:
+        mesh = make_mesh(batch=batch, spec=spec)
+        step, info = make_sharded_step(arrays, static, mesh)
+        temperature = np.full(4, 288.99, np.float32)
+        pressure = np.full(4, 98388.0, np.float32)
+        vmr = np.full(4, 6.6e-3, np.float32)
+        out = np.asarray(step(arrays, temperature, pressure, vmr))
+        outs.append(out[:, :static["num_points"]])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6,
+                               atol=float(np.abs(outs[0]).max()) * 1e-7)
