@@ -120,7 +120,11 @@ class Database:
     def create(self, hitran_webapi, molecules="all", tips_webapi=None,
                cross_section_directory=".cross-sections"):
         """Downloads HITRAN/TIPS/cross-section data into the database
-        (same flow as reference database.py:148-210)."""
+        (same flow as reference database.py:148-210).
+
+        Pass ``cross_section_directory=None`` to skip the arts-crossfit
+        download (ingest it later with
+        :meth:`ingest_arts_crossfit_directory`)."""
         if tips_webapi is None:
             from ..webapi import TipsWebApi
             tips_webapi = TipsWebApi()
@@ -160,6 +164,8 @@ class Database:
         con.commit()
         con.close()
 
+        if cross_section_directory is None:
+            return
         self.cross_section_directory = cross_section_directory
         Path(cross_section_directory).mkdir(parents=True, exist_ok=True)
         from ..webapi.arts_crossfit_api import download
@@ -191,12 +197,30 @@ class Database:
         parameters = ["global_iso_id", "molec_id", "local_iso_id", "nu",
                       "sw", "gamma_air", "gamma_self", "n_air", "delta_air",
                       "elower"]
+        insert = ("INSERT INTO transition (global_iso_id, molecule_id, "
+                  "local_iso_id, nu, sw, gamma_air, gamma_self, n_air, "
+                  "delta_air, elower) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)")
+        # Fast path: raw CSV through the native parser (multi-MB files for
+        # the big molecules; the reference parses them row by row in
+        # Python, hitran_api.py:173-185).
+        if hasattr(hitran_webapi, "download_transitions_csv"):
+            from ..runtime import native
+            if native.available():
+                csv, _ = hitran_webapi.download_transitions_csv(
+                    isotopologues, 0.0, 1.0e8, parameters)
+                soa = native.parse_transitions_csv(csv)
+                con.executemany(insert, zip(
+                    soa["global_iso_id"].tolist(),
+                    [molecule.id] * soa["nu"].size,
+                    soa["local_iso_id"].tolist(), soa["nu"].tolist(),
+                    soa["sw"].tolist(), soa["gamma_air"].tolist(),
+                    soa["gamma_self"].tolist(), soa["n_air"].tolist(),
+                    soa["delta_air"].tolist(), soa["elower"].tolist()))
+                return
         transitions = hitran_webapi.download_transitions(
             isotopologues, 0.0, 1.0e8, parameters)
         con.executemany(
-            "INSERT INTO transition (global_iso_id, molecule_id, "
-            "local_iso_id, nu, sw, gamma_air, gamma_self, n_air, "
-            "delta_air, elower) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+            insert,
             [(t.global_iso_id, molecule.id, t.local_iso_id, t.nu, t.sw,
               t.gamma_air, t.gamma_self, t.n_air, t.delta_air, t.elower)
              for t in transitions])

@@ -160,12 +160,22 @@ def compute_pedestals(k_nosub, kin, num_points, n_per_v, cut_off,
     window = 2 * cut_off + 1
     b_min = int(b.min())
     n_buckets = int(b.max()) - b_min + 1
+    bi_rel = (b - b_min).astype(np.int64)
+
+    from ...runtime import native
+    scanned = native.pedestal_scan(
+        bi_rel, skip, left_clamp, right_clamp, cover0, coverN,
+        k_s_contrib, pre_contrib_e, cum0_incl, cumN_incl,
+        window, n_buckets)
+    if scanned is not None:
+        return scanned
+
+    # Pure-Python fallback (same scan; ~1000x slower on large line lists).
     bucket_ped = np.zeros(n_buckets)
     ped = np.zeros(num)
     p0_running = 0.0   # pedestals of processed lines covering point 0.
     pn_running = 0.0   # pedestals of processed lines covering point n-1.
 
-    bi_rel = (b - b_min).astype(np.int64)
     lo_s = np.maximum(bi_rel - window, 0)
     hi_e = np.minimum(bi_rel + window + 1, n_buckets)
     sk = skip

@@ -128,8 +128,15 @@ class HitranWebApi:
         return [Struct(**x) for x in self._download_section(
             "isotopologues", Query(molecule_id__in=ids))["content"]["data"]]
 
-    def download_transitions(self, isotopologues, numin, numax,
-                             parameters=None):
+    def download_transitions_csv(self, isotopologues, numin, numax,
+                                 parameters=None):
+        """Downloads the raw CSV results file for a set of isotopologues.
+
+        Returns:
+            (csv_text, parameters) — the bulk-ingestion path hands the text
+            to the native parser (csrc/pylbl_native.cpp) instead of
+            Python row splitting.
+        """
         if type(isotopologues) not in [list, tuple]:
             isotopologues = [isotopologues]
         ids = [x.id for x in isotopologues]
@@ -147,7 +154,13 @@ class HitranWebApi:
             raise NoTransitionsError(
                 f"no transitions found for "
                 f"{isotopologues[0].molecule_alias}.")
-        data = self._download_file(self.transition_directory, name)
+        return self._download_file(self.transition_directory,
+                                   name), parameters
+
+    def download_transitions(self, isotopologues, numin, numax,
+                             parameters=None):
+        data, parameters = self.download_transitions_csv(
+            isotopologues, numin, numax, parameters)
         type_mapping = {"float": float, "int": int, "str": str}
         types = [type_mapping[x.type] for x in self.parameters]
         return parse_transitions(data, parameters, types)
