@@ -99,10 +99,19 @@ class Database:
         path: path to the sqlite file.
     """
 
-    def __init__(self, path, echo=False):
+    def __init__(self, path, echo=False, pack_cache_dir=None):
+        """Connects to the database and creates tables.
+
+        Args:
+            path: path to the sqlite file.
+            echo: print SQL statements.
+            pack_cache_dir: optional directory for on-disk LinePack npz
+                caches (sqlite is then queried once per molecule ever).
+        """
         self.path = str(path)
         self.echo = echo
         self.cross_section_directory = None
+        self.pack_cache_dir = pack_cache_dir
         con = self._connect()
         con.executescript(SCHEMA)
         con.commit()
@@ -361,6 +370,13 @@ class Database:
         cached = self._pack_cache.get(name)
         if cached is not None:
             return cached
+        if self.pack_cache_dir is not None:
+            from ..models.lines.physics import LinePack as _LinePack
+            disk = Path(self.pack_cache_dir) / f"{name}.lpk.npz"
+            if disk.exists():
+                pack = _LinePack.load(disk)
+                self._pack_cache[name] = pack
+                return pack
         con = self._connect()
         try:
             molecule_id = self._molecule_id(con, name)
@@ -397,6 +413,9 @@ class Database:
             mass_slots=mass_slots, q_table=q_table,
             q_temperature=temperature, meta={"source": self.path})
         self._pack_cache[name] = pack
+        if self.pack_cache_dir is not None:
+            Path(self.pack_cache_dir).mkdir(parents=True, exist_ok=True)
+            pack.save(Path(self.pack_cache_dir) / f"{name}.lpk.npz")
         return pack
 
     def ingest_line_pack(self, pack, molecule_id=None, aliases=()):

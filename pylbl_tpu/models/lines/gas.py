@@ -100,30 +100,40 @@ class Gas:
             ``grid.size`` (identical contract to reference
             gas_optics.py:61-92).
         """
+        from ...utils.observability import metrics
+
         v0, vn, n_per_v, num_points = internal_grid(grid)
         keep = self.pack.compat_break_filter(v0, vn, cut_off)
         if keep == 0:
             return np.zeros(num_points)
-        params = line_profile_params(self.pack, temperature, pressure,
-                                     volume_mixing_ratio, keep=keep)
-        kin = kernel_inputs(params, v0, n_per_v, cut_off)
-        if self._resolve_backend() == "pallas":
-            from ...ops.lineshape_pallas import accumulate_tpu
-            arrays = lineshape.prepare_kernel_arrays(kin, n_per_v,
-                                                     np.float32)
-            k = np.asarray(
-                accumulate_tpu(arrays, kin, num_points, n_per_v, cut_off),
-                dtype=np.float64)
-        else:
-            arrays = lineshape.prepare_kernel_arrays(kin, n_per_v,
-                                                     self.dtype)
-            k = np.asarray(
-                lineshape.accumulate(arrays, num_points, n_per_v, cut_off),
-                dtype=np.float64)
-        if remove_pedestal:
-            kin_ped = dict(kin)
-            kin_ped["nu_raw"] = self.pack.nu[:keep]
-            kin_ped["nu_shift"] = params["nu_shift"]
-            ped = compute_pedestals(k, kin_ped, num_points, n_per_v, cut_off)
-            k = apply_pedestal(k, ped, kin["s_idx"], kin["e_idx"], num_points)
+        with metrics.timed("lines.absorption"):
+            params = line_profile_params(self.pack, temperature, pressure,
+                                         volume_mixing_ratio, keep=keep)
+            kin = kernel_inputs(params, v0, n_per_v, cut_off)
+            if self._resolve_backend() == "pallas":
+                from ...ops.lineshape_pallas import accumulate_tpu
+                arrays = lineshape.prepare_kernel_arrays(kin, n_per_v,
+                                                         np.float32)
+                k = np.asarray(
+                    accumulate_tpu(arrays, kin, num_points, n_per_v,
+                                   cut_off), dtype=np.float64)
+            else:
+                arrays = lineshape.prepare_kernel_arrays(kin, n_per_v,
+                                                         self.dtype)
+                k = np.asarray(
+                    lineshape.accumulate(arrays, num_points, n_per_v,
+                                         cut_off), dtype=np.float64)
+            if remove_pedestal:
+                with metrics.timed("lines.pedestal"):
+                    kin_ped = dict(kin)
+                    kin_ped["nu_raw"] = self.pack.nu[:keep]
+                    kin_ped["nu_shift"] = params["nu_shift"]
+                    ped = compute_pedestals(k, kin_ped, num_points,
+                                            n_per_v, cut_off)
+                    k = apply_pedestal(k, ped, kin["s_idx"], kin["e_idx"],
+                                       num_points)
+        metrics.count("lines.processed", int(keep))
+        metrics.count("lines.point_evals",
+                      int(keep) * ((2 * cut_off + 1) * n_per_v + 1))
+        metrics.count("lines.grid_points", int(num_points))
         return k

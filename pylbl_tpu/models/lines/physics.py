@@ -62,6 +62,24 @@ class LinePack:
     def num_lines(self):
         return self.nu.size
 
+    _ARRAY_FIELDS = ("nu", "sw", "gamma_air", "gamma_self", "n_air",
+                     "delta_air", "elower", "iso", "mass_slots", "q_table",
+                     "q_temperature")
+
+    def save(self, path):
+        """Caches the pack as a compressed npz (the packed-array artifact:
+        sqlite is touched once, reloads skip requerying)."""
+        np.savez_compressed(
+            path, formula=self.formula,
+            **{name: getattr(self, name) for name in self._ARRAY_FIELDS})
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path, allow_pickle=False) as data:
+            return cls(formula=str(data["formula"]),
+                       **{name: data[name] for name in cls._ARRAY_FIELDS},
+                       meta={"source": str(path)})
+
     @property
     def mass(self):
         """Per-line molar mass (reference spectral_database.c:178)."""

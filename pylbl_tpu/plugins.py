@@ -41,6 +41,14 @@ cross_sections = {
     "arts_crossfit": CrossSection,
 }
 
+# Optional ARTS lines backend (soft dependency, reference setup.py:56).
+try:
+    from .models.arts_frontend import ARTS_INSTALLED, PyArtsGas
+    if ARTS_INSTALLED:
+        molecular_lines["arts"] = PyArtsGas
+except ImportError:  # pragma: no cover
+    pass
+
 models = list({*molecular_lines, *continua, *cross_sections})
 
 
