@@ -47,31 +47,33 @@ DEFAULT_CHUNK = 512
 
 
 def pack_lines_soa(arrays, chunk=DEFAULT_CHUNK):
-    """Packs kernel arrays into the (8, N_padded) float32 SoA block.
+    """Packs kernel arrays into the ([B,] 8, N_padded) float32 SoA block.
 
     Args:
-        arrays: dict from ops.lineshape.prepare_kernel_arrays (float32).
+        arrays: dict from ops.lineshape.prepare_kernel_arrays (float32),
+            leaves [N] or layer-batched [B, N].
         chunk: line-chunk size; N is padded to a multiple of it with dead
             lines (window [-1, -2] so every point masks off).
 
     Returns:
-        (soa[8, N_padded] float32, num_lines).
+        (soa[..., 8, N_padded] float32, num_lines).
     """
     num = arrays["prefactor"].shape[-1]
+    batch = arrays["prefactor"].shape[:-1]
     padded = -num % chunk
     total = num + padded
-    soa = np.zeros((8, total), dtype=np.float32)
-    soa[C_INT, :num] = arrays["c_int"]
-    soa[C_FRAC, :num] = arrays["c_frac"]
-    soa[SRW, :num] = arrays["scaled_repwid"]
-    soa[Y, :num] = arrays["y"]
-    soa[PREF, :num] = arrays["prefactor"]
-    soa[S_IDX, :num] = arrays["s_idx"]
-    soa[E_IDX, :num] = arrays["e_idx"]
-    soa[S_IDX, num:] = -1.0
-    soa[E_IDX, num:] = -2.0
-    soa[SRW, num:] = 1.0
-    soa[Y, num:] = 1.0
+    soa = np.zeros(batch + (8, total), dtype=np.float32)
+    soa[..., C_INT, :num] = arrays["c_int"]
+    soa[..., C_FRAC, :num] = arrays["c_frac"]
+    soa[..., SRW, :num] = arrays["scaled_repwid"]
+    soa[..., Y, :num] = arrays["y"]
+    soa[..., PREF, :num] = arrays["prefactor"]
+    soa[..., S_IDX, :num] = arrays["s_idx"]
+    soa[..., E_IDX, :num] = arrays["e_idx"]
+    soa[..., S_IDX, num:] = -1.0
+    soa[..., E_IDX, num:] = -2.0
+    soa[..., SRW, num:] = 1.0
+    soa[..., Y, num:] = 1.0
     return soa, num
 
 
@@ -220,6 +222,135 @@ def _pallas_two_pass(soa, w_start, w_n, c_start, c_n, num_points, tile,
                        interpret)
     return out + _pallas_pass(soa, c_start, c_n, num_points, tile, chunk,
                               "core", interpret)
+
+
+def _tile_kernel_batched(line_fn, chunk, tile, start_ref, nchunks_ref,
+                         lines_ref, out_ref, buf, sems):
+    """(layer, tile) grid step over a [B, 8, N] SoA with [B, T] CSR."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[b, t]
+    nchunks = nchunks_ref[b, t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * tile + row * lanes + col).astype(jnp.float32)
+
+    def chunk_dma(slot, k):
+        offset = pl.multiple_of(base + k * chunk, 128)
+        return pltpu.make_async_copy(
+            lines_ref.at[b, :, pl.ds(offset, chunk)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def line_body(i, acc):
+            return line_fn(point,
+                           buf[slot, C_INT, i], buf[slot, C_FRAC, i],
+                           buf[slot, SRW, i], buf[slot, Y, i],
+                           buf[slot, PREF, i], buf[slot, S_IDX, i],
+                           buf[slot, E_IDX, i], acc)
+
+        return jax.lax.fori_loop(0, chunk, line_body, acc)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(0, nchunks, chunk_body, acc)
+    out_ref[...] = acc[None, None]
+
+
+def _pallas_pass_batched(soa, start, nchunks, num_points, tile, chunk,
+                         pass_kind, interpret=False):
+    num_layers = soa.shape[0]
+    num_tiles = -(-num_points // tile)
+    padded_points = num_tiles * tile
+    line_fn = _lorentz_line if pass_kind == "wings" else _correction_line
+    kernel = functools.partial(_tile_kernel_batched, line_fn, chunk, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_layers, num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1, 8, tile // 8),
+                               lambda b, t, *_: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_layers, num_tiles, 8, tile // 8), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(start, nchunks, soa)
+    return out.reshape(num_layers, padded_points)[:, :num_points]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_points", "tile", "chunk",
+                                    "interpret"))
+def _pallas_two_pass_batched(soa, w_start, w_n, c_start, c_n, num_points,
+                             tile, chunk, interpret=False):
+    out = _pallas_pass_batched(soa, w_start, w_n, num_points, tile, chunk,
+                               "wings", interpret)
+    return out + _pallas_pass_batched(soa, c_start, c_n, num_points, tile,
+                                      chunk, "core", interpret)
+
+
+def accumulate_tpu_batched(kernel_arrays, kin, num_points, n_per_v, cut_off,
+                           tile=DEFAULT_TILE, chunk=DEFAULT_CHUNK,
+                           interpret=False):
+    """Layer-batched two-pass accumulation: one kernel launch for all
+    layers of a gas.
+
+    Args:
+        kernel_arrays: float32 arrays [B, N] from prepare_kernel_arrays.
+        kin: float64 physics dict (for core-window sizing; [B, N] leaves).
+
+    Returns:
+        jnp float32 [B, num_points].
+    """
+    from .lineshape import core_halfwidth
+
+    num_layers, num = kernel_arrays["prefactor"].shape
+    if num == 0:
+        return jnp.zeros((num_layers, num_points), dtype=jnp.float32)
+    soa, _ = pack_lines_soa(kernel_arrays, chunk)
+    core_w = core_halfwidth(
+        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
+    w_starts, w_ns, c_starts, c_ns = [], [], [], []
+    for b in range(num_layers):
+        s_idx = kernel_arrays["s_idx"][b].astype(np.int64)
+        e_idx = kernel_arrays["e_idx"][b].astype(np.int64)
+        ws, wn = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
+        center = np.rint(kernel_arrays["c_int"][b]).astype(np.int64)
+        cs, cn = tile_line_ranges(
+            np.maximum(center - core_w, s_idx),
+            np.minimum(center + core_w, e_idx), num_points, tile, chunk)
+        w_starts.append(ws)
+        w_ns.append(wn)
+        c_starts.append(cs)
+        c_ns.append(cn)
+    return _pallas_two_pass_batched(
+        soa, np.stack(w_starts), np.stack(w_ns), np.stack(c_starts),
+        np.stack(c_ns), int(num_points), tile, chunk, interpret)
 
 
 def accumulate_tpu(kernel_arrays, kin, num_points, n_per_v, cut_off,

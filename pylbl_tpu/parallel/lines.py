@@ -155,6 +155,86 @@ def _pad_to_chunk(kernel_arrays, chunk):
     }
 
 
+def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
+                        tile=None, chunk=None):
+    """Builds the fused single-chip batched pipeline for one (gas, grid).
+
+    Line constants transfer to the device once (~14 MB for a 300k-line
+    molecule); each call then ships only the [B] layer conditions, runs the
+    jnp physics on device and feeds the layer-batched Pallas kernel.  The
+    per-tile line ranges are precomputed on the host from the *unshifted*
+    line positions widened by one wavenumber (pressure shifts are
+    sub-0.1 cm-1), so they are layer-independent; the in-kernel window
+    masks use the exact per-layer windows.
+
+    Returns:
+        fn(temperature[B], pressure[B], vmr[B]) -> jnp float32 [B, n]
+        absorption cross sections on the internal grid.
+    """
+    import jax.numpy as jnp
+    from ..ops import lineshape_pallas as lp
+    from ..ops.lineshape import core_halfwidth
+
+    tile = tile or lp.DEFAULT_TILE
+    chunk = chunk or lp.DEFAULT_CHUNK
+    arrays_np, static = device_line_pack(pack, grid, cut_off=cut_off)
+    num_points = static["num_points"]
+    n_per_v = static["n_per_v"]
+    v0 = static["v0"]
+    keep = static["num_lines"]
+    if keep == 0:
+        def empty(t, p, x):
+            batch = jnp.atleast_1d(t).shape[0]
+            return jnp.zeros((batch, num_points), jnp.float32)
+        return empty
+
+    # Layer-independent CSR from unshifted positions, +/-1 wavenumber slop.
+    b0 = np.floor(pack.nu[:keep]).astype(np.int64)
+    s_wide = (b0 - 1 - cut_off - v0) * n_per_v
+    e_wide = (b0 + 1 + cut_off + 1 - v0) * n_per_v
+    w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points, tile,
+                                       chunk)
+    # Core sizing from worst-case (coldest plausible) Doppler widths.
+    alpha_ref = (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
+        c.R2 * 350.0 / np.maximum(pack.mass[:keep], 1.0))
+    repwid_ref = c.SQRT_LN2 / np.maximum(alpha_ref, 1e-300)
+    core_w = core_halfwidth(
+        {"y": np.zeros(keep), "repwid": repwid_ref}, n_per_v, cut_off)
+    center0 = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
+    c_start, c_n = lp.tile_line_ranges(
+        np.maximum(center0 - core_w - n_per_v, s_wide),
+        np.minimum(center0 + core_w + n_per_v, e_wide),
+        num_points, tile, chunk)
+
+    arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    pad = -keep % chunk
+
+    @jax.jit
+    def fn(temperature, pressure, vmr):
+        def one_layer(t, p, x):
+            ka = line_kernel_arrays(arrays_dev, static, t, p, x)
+            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                    ka["scaled_repwid"], ka["y"], ka["prefactor"],
+                    ka["s_idx"].astype(jnp.float32),
+                    ka["e_idx"].astype(jnp.float32),
+                    jnp.zeros_like(ka["c_frac"])]
+            fill = [0.0, 0.0, 1.0, 1.0, 0.0, -1.0, -2.0, 0.0]
+            rows = [jnp.pad(r, (0, pad), constant_values=v)
+                    for r, v in zip(rows, fill)]
+            return jnp.stack(rows, axis=0)        # [8, N_pad].
+
+        soa = jax.vmap(one_layer)(temperature, pressure, vmr)
+        batch = soa.shape[0]
+        return lp._pallas_two_pass_batched(
+            soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
+            np.broadcast_to(w_n, (batch,) + w_n.shape),
+            np.broadcast_to(c_start, (batch,) + c_start.shape),
+            np.broadcast_to(c_n, (batch,) + c_n.shape),
+            num_points, tile, chunk)
+
+    return fn
+
+
 def make_sharded_step(arrays, static, mesh, kin=None, chunk=512):
     """Builds the jitted multi-device absorption step.
 
