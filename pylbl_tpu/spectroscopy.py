@@ -137,6 +137,17 @@ class Spectroscopy:
                 self.cache[name] = data
             fraction = np.asarray(mole_fraction.data,
                                   dtype=np.float64).ravel()
+
+            # Lines: one batched kernel launch across all layers when the
+            # engine supports it (TPU); the reference loops layers serially
+            # (spectroscopy.py:179-191).
+            lines_batch = None
+            if data.gas is not None and num_states > 1 and \
+                    hasattr(data.gas, "absorption_coefficient_batch"):
+                lines_batch = data.gas.absorption_coefficient_batch(
+                    temperature, pressure, fraction, self.grid,
+                    remove_pedestal=remove_pedestal)
+
             for i in range(num_states):
                 vmr = {x: np.asarray(y.data).flat[i]
                        for x, y in self.atmosphere.gases.items()}
@@ -144,9 +155,12 @@ class Spectroscopy:
                 j = np.unravel_index(i, shape)
 
                 if data.gas is not None:
-                    k = data.gas.absorption_coefficient(
-                        temperature[i], pressure[i], fraction[i], self.grid,
-                        remove_pedestal=remove_pedestal)
+                    if lines_batch is not None:
+                        k = lines_batch[i]
+                    else:
+                        k = data.gas.absorption_coefficient(
+                            temperature[i], pressure[i], fraction[i],
+                            self.grid, remove_pedestal=remove_pedestal)
                     indices = tuple(list(j) + [0, slice(None)])
                     beta[varname].values[indices] = n * k[:self.grid.size]
 
@@ -163,6 +177,67 @@ class Spectroscopy:
                     indices = tuple(list(j) + [2, slice(None)])
                     beta[varname].values[indices] = n * k[:]
         return self._create_output_dataset(beta, output_format)
+
+    def compute_absorption_streamed(self, path, remove_pedestal=None,
+                                    resume=True):
+        """Streams per-gas, per-mechanism absorption to a chunked netCDF.
+
+        For grids/batches too large for an in-memory Dataset (the
+        BASELINE's RFMIP-scale configs).  Each layer/column state is
+        computed and flushed independently; an interrupted run resumes
+        from the first unwritten state.
+
+        Returns:
+            The output path.
+        """
+        from .utils.streaming import StreamingWriter
+
+        pressure = np.asarray(self.atmosphere.pressure.data,
+                              dtype=np.float64).ravel()
+        temperature = np.asarray(self.atmosphere.temperature.data,
+                                 dtype=np.float64).ravel()
+        if remove_pedestal is None:
+            remove_pedestal = self.continua_backend == "mt_ckd"
+        names = list(self.atmosphere.gases)
+        writer = StreamingWriter(
+            path, temperature.size, self.grid,
+            [f"{n}_absorption" for n in names],
+            extra_dims={"mechanism": len(self.output.mechanisms)},
+            mode="auto" if resume else "w")
+        with writer:
+            for name in names:
+                if name not in self.cache:
+                    self.cache[name] = MoleculeCache(
+                        name, self.grid, self.lines_database,
+                        self.lines_engine, self.continua_engine,
+                        self.cross_sections_engine)
+            for i in writer.pending_states():
+                values = {}
+                vmr = {x: np.asarray(y.data).flat[i]
+                       for x, y in self.atmosphere.gases.items()}
+                for name in names:
+                    data = self.cache[name]
+                    block = np.zeros((len(self.output.mechanisms),
+                                      self.grid.size))
+                    n = number_density(temperature[i], pressure[i],
+                                       vmr[name])
+                    if data.gas is not None:
+                        k = data.gas.absorption_coefficient(
+                            temperature[i], pressure[i], vmr[name],
+                            self.grid, remove_pedestal=remove_pedestal)
+                        block[0] = n * k[:self.grid.size]
+                    if data.gas_continua is not None:
+                        for continuum in data.gas_continua:
+                            block[1] += continuum.spectra(
+                                temperature[i], pressure[i], vmr, self.grid)
+                    if data.cross_section is not None:
+                        block[2] = n * data.cross_section.\
+                            absorption_coefficient(self.grid,
+                                                   temperature[i],
+                                                   pressure[i])
+                    values[f"{name}_absorption"] = block
+                writer.write_state(int(i), values)
+        return path
 
     def _create_output_dataset(self, absorption, output_format):
         """Assembles the output Dataset (reference spectroscopy.py:208-235)."""

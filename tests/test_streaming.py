@@ -1,0 +1,58 @@
+"""Streamed/resumable output writer tests."""
+import numpy as np
+
+from pylbl_tpu import Spectroscopy, open_dataset
+from pylbl_tpu.database.db import Database
+from pylbl_tpu.database.fixtures import synthetic_line_pack
+from pylbl_tpu.utils.streaming import StreamingWriter
+
+
+def test_streaming_writer_resume(tmp_path):
+    path = tmp_path / "stream.nc"
+    grid = np.arange(1.0, 50.0, 0.5)
+    with StreamingWriter(path, 3, grid, ["a"]) as writer:
+        assert list(writer.pending_states()) == [0, 1, 2]
+        writer.write_state(0, {"a": np.full(grid.size, 1.0)})
+        writer.write_state(2, {"a": np.full(grid.size, 3.0)})
+    # Reopen: only state 1 is pending.
+    with StreamingWriter(path, 3, grid, ["a"]) as writer:
+        assert list(writer.pending_states()) == [1]
+        writer.write_state(1, {"a": np.full(grid.size, 2.0)})
+    back = open_dataset(path)
+    np.testing.assert_array_equal(back["a"].data[:, 0], [1.0, 2.0, 3.0])
+
+
+def test_streamed_matches_in_memory(tmp_path, atmosphere_dataset,
+                                    coarse_grid):
+    db = Database(tmp_path / "s.db")
+    db.ingest_line_pack(synthetic_line_pack(num_lines=200, seed=21))
+    spec = Spectroscopy(atmosphere_dataset, coarse_grid, db)
+    full = spec.compute_absorption(output_format="all")
+    out = spec.compute_absorption_streamed(tmp_path / "out.nc")
+    back = open_dataset(out)
+    np.testing.assert_allclose(
+        back["H2O_absorption"].data,
+        full.data_vars["H2O_absorption"].data, rtol=1e-12)
+    np.testing.assert_array_equal(back["wavenumber"].data, coarse_grid)
+
+
+def test_spectroscopy_batched_lines_path(tmp_path, atmosphere_dataset,
+                                         coarse_grid):
+    """The multi-layer lines branch goes through the batch API and matches
+    per-layer computation."""
+    db = Database(tmp_path / "b.db")
+    db.ingest_line_pack(synthetic_line_pack(num_lines=200, seed=21))
+    spec = Spectroscopy(atmosphere_dataset, coarse_grid, db)
+    full = spec.compute_absorption(output_format="all")
+    gas = spec.cache["H2O"].gas
+    t = np.asarray(atmosphere_dataset["temperature"].data)
+    p = np.asarray(atmosphere_dataset["pressure"].data)
+    x = np.asarray(atmosphere_dataset["water_vapor"].data)
+    from pylbl_tpu.spectroscopy import number_density
+    for i in range(t.size):
+        k = gas.absorption_coefficient(t[i], p[i], x[i], coarse_grid,
+                                       remove_pedestal=True)
+        expected = number_density(t[i], p[i], x[i]) * k[:coarse_grid.size]
+        np.testing.assert_allclose(
+            full.data_vars["H2O_absorption"].data[i, 0], expected,
+            rtol=1e-12)
