@@ -6,7 +6,13 @@ config-2 grid (1-5000 cm-1 at 0.1 cm-1; 50k points), the same shape as the
 reference's hottest path (pyLBL C loop, absorption.c:76-87).  Measures the
 Pallas two-pass kernel's steady-state rate in masked line-point evaluations
 per second (each line covers a (2*cutoff+1) cm-1 window, reference
-spectra.c:48-62).
+spectra.c:48-62), with line constants device-resident as in production.
+
+Measurement method: R spectra are chained inside one jitted fori_loop with
+a loop-carried dependence (so XLA cannot hoist the loop-invariant kernel
+call), and the per-spectrum time is the difference between R=1 and R=R+1
+around a single 4-byte readback sync.  Anything simpler measures the axon
+tunnel (~30 ms RPC round-trip per sync), not the device.
 
 vs_baseline: ratio against the reference C implementation's single-core
 rate, measured live by running the unmodified reference voigt.c/spectra.c
@@ -30,7 +36,7 @@ from pylbl_tpu.models.lines import internal_grid  # noqa: E402
 from pylbl_tpu.models.lines.physics import (kernel_inputs,  # noqa: E402
                                             line_profile_params)
 from pylbl_tpu.ops import lineshape  # noqa: E402
-from pylbl_tpu.ops.lineshape_pallas import accumulate_tpu  # noqa: E402
+from pylbl_tpu.ops.lineshape_pallas import make_device_plan  # noqa: E402
 
 TEMPERATURE = 288.99  # surface layer of the canonical test column.
 PRESSURE = 98388.0
@@ -46,22 +52,41 @@ def build_workload(num_lines=300000):
     return pack, grid
 
 
-def tpu_rate(pack, grid, reps=5):
+def tpu_rate(pack, grid, reps=10):
+    import jax
+    import jax.numpy as jnp
+
     v0, vn, n_per_v, n = internal_grid(grid)
     keep = pack.compat_break_filter(v0, vn, CUT_OFF)
     params = line_profile_params(pack, TEMPERATURE, PRESSURE, VMR, keep=keep)
     kin = kernel_inputs(params, v0, n_per_v, CUT_OFF)
     arrays = lineshape.prepare_kernel_arrays(kin, n_per_v, np.float32)
-    k = accumulate_tpu(arrays, kin, n, n_per_v, CUT_OFF)
-    k.block_until_ready()   # compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        k = accumulate_tpu(arrays, kin, n, n_per_v, CUT_OFF)
-        k.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    # Line constants are device-resident in steady state (the production
+    # Gas/batched paths keep them in HBM per gas); measure the compute
+    # rate, not the tunnel's host->device bandwidth.
+    plan = make_device_plan(arrays, kin, n, n_per_v, CUT_OFF)
+
+    @jax.jit
+    def chained(soa, nreps):
+        def body(i, carry):
+            acc, s = carry
+            s = jnp.where(acc >= -1.0, s, 0.0)  # true loop dependence
+            out = plan.run_with_soa(s)
+            return (acc + out[0], s)
+        acc, _ = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), soa))
+        return acc
+
+    float(chained(plan.soa, 1))                 # compile
+    t0 = time.perf_counter()
+    float(chained(plan.soa, 1))
+    one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chained(plan.soa, reps + 1))
+    many = time.perf_counter() - t0
+    per_spectrum = max((many - one) / reps, 1e-9)
     evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
-    return evals / best, float(np.asarray(k).max())
+    max_k = float(np.asarray(plan()).max())
+    return evals / per_spectrum, max_k
 
 
 def reference_rate(grid, num_lines=20000):
@@ -89,6 +114,7 @@ def reference_rate(grid, num_lines=20000):
 def main():
     pack, grid = build_workload()
     rate, max_k = tpu_rate(pack, grid)
+    assert np.isfinite(max_k) and max_k > 0
     ref = reference_rate(grid)
     vs_baseline = rate / ref if ref else 1.0
     print(json.dumps({

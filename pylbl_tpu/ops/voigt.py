@@ -198,6 +198,66 @@ def voigt_full(x, y):
     return xp.where(y >= 70.55, k0, out)
 
 
+def voigt_correction_k1(x, y):
+    """voigt_correction specialized to 8.425 <= y < 70.55.
+
+    There xlim1 = 0 (region_limits' y >= 8.425 branch, voigt.c:38-40), so
+    |x| >= xlim1 always holds and the nested selection collapses to
+    region 1.  Identical in value to :func:`voigt_correction` on its
+    domain.
+    """
+    xp = _xp(x, y)
+    xlim0 = xp.sqrt(xp.maximum(15100.0 + y * (40.0 - y * 3.6), 0.0))
+    abx = xp.abs(x)
+    xq = abx * abx
+    k0 = voigt_lorentz(x, y)
+    k1 = _w4_region1(xq, y, y * y, xp)
+    needs_corr = abx < xlim0
+    return xp.where(needs_corr, k1 - k0, xp.zeros_like(x))
+
+
+def voigt_correction_k12(x, y):
+    """voigt_correction specialized to y >= 6.8.
+
+    There xlim2 = 6.8 - y <= 0 <= |x| and xlim3 >= 16.3 > xlim0 is
+    impossible inside the core, so the reference's nested selection
+    (voigt.c:79-115) can only ever reach regions 1 and 2; regions 3 and
+    CPF12 are dead code for such lines.  Identical in value to
+    :func:`voigt_correction` on its domain.
+    """
+    xp = _xp(x, y)
+    xlim0, xlim1, _, _, _, yq = region_limits(y, xp)
+    abx = xp.abs(x)
+    xq = abx * abx
+    k0 = voigt_lorentz(x, y)
+    k1 = _w4_region1(xq, y, yq, xp)
+    k2 = _w4_region2(xq, y, yq, xp)
+    inner = xp.where(abx >= xlim1, k1, k2)
+    needs_corr = (abx < xlim0) & (y < 70.55)
+    return xp.where(needs_corr, inner - k0, xp.zeros_like(x))
+
+
+def voigt_correction_k123(x, y):
+    """voigt_correction specialized to 2.0 <= y < 6.8.
+
+    There xlim3 = 2.4*y >= 4.8 >= 6.8 - y = xlim2, so every |x| < xlim2
+    point satisfies |x| < xlim3 and the CPF12 branch (voigt.c:150-186)
+    is unreachable.  Identical in value to :func:`voigt_correction` on
+    its domain.
+    """
+    xp = _xp(x, y)
+    xlim0, xlim1, xlim2, _, _, yq = region_limits(y, xp)
+    abx = xp.abs(x)
+    xq = abx * abx
+    k0 = voigt_lorentz(x, y)
+    k1 = _w4_region1(xq, y, yq, xp)
+    k2 = _w4_region2(xq, y, yq, xp)
+    k3 = _w4_region3(xq, y, xp)
+    inner = xp.where(abx >= xlim1, k1, xp.where(abx >= xlim2, k2, k3))
+    needs_corr = (abx < xlim0) & (y < 70.55)
+    return xp.where(needs_corr, inner - k0, xp.zeros_like(x))
+
+
 def voigt_correction(x, y):
     """K_full(x,y) - K_lorentz(x,y), nonzero only where |x| < xlim0 & y < 70.55.
 

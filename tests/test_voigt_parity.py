@@ -74,3 +74,26 @@ def test_voigt_float32_relative_accuracy():
     k32 = voigt_full(x.astype(np.float32), y64.astype(np.float32))
     rel = np.abs(k32.astype(np.float64) - k64) / np.abs(k64)
     assert np.max(rel) < 5e-5
+
+
+def test_correction_class_specializations_match_general():
+    """The y-class-gated corrections (used per line inside the Pallas core
+    pass) must equal the general correction exactly on their domains."""
+    from pylbl_tpu.ops.voigt import (voigt_correction_k1,
+                                     voigt_correction_k12,
+                                     voigt_correction_k123)
+    rng = np.random.default_rng(7)
+    x = np.concatenate([np.linspace(-130.0, 130.0, 20001),
+                        rng.uniform(-5.0, 5.0, 2000)])
+    for y_val in [6.8, 7.3, 8.425, 9.0, 40.0, 70.54, 70.55, 200.0]:
+        y = np.full(1, y_val)
+        np.testing.assert_array_equal(voigt_correction_k12(x, y),
+                                      voigt_correction(x, y))
+    for y_val in [2.0, 2.5, 3.7, 4.8, 6.0, 6.799]:
+        y = np.full(1, y_val)
+        np.testing.assert_array_equal(voigt_correction_k123(x, y),
+                                      voigt_correction(x, y))
+    for y_val in [8.425, 9.0, 20.0, 40.0, 70.54]:
+        y = np.full(1, y_val)
+        np.testing.assert_array_equal(voigt_correction_k1(x, y),
+                                      voigt_correction(x, y))

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Microbenchmark of the Pallas line-summation passes on the live device.
+
+Measures honest per-spectrum device time by chaining R kernel invocations
+inside one jitted fori_loop with a loop-carried data dependence (so XLA
+cannot hoist the call) and differencing R=1 vs R=many around a single
+4-byte readback sync.  Single-call wall times through the axon tunnel are
+dominated by ~30 ms RPC round-trips and say nothing about the kernel.
+
+Usage: python tools/kernel_microbench.py [num_lines] [reps]
+"""
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax                     # noqa: E402
+import jax.numpy as jnp        # noqa: E402
+
+from pylbl_tpu.database.fixtures import synthetic_line_pack   # noqa: E402
+from pylbl_tpu.models.lines import internal_grid              # noqa: E402
+from pylbl_tpu.models.lines.physics import (kernel_inputs,    # noqa: E402
+                                            line_profile_params)
+from pylbl_tpu.ops import lineshape                           # noqa: E402
+from pylbl_tpu.ops import lineshape_pallas as lp              # noqa: E402
+from pylbl_tpu.ops.lineshape import core_halfwidth            # noqa: E402
+
+CUT_OFF = 25
+
+
+def workload(num_lines):
+    pack = synthetic_line_pack(
+        num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
+        band_centers=(150.0, 1600.0, 3700.0, 500.0))
+    grid = np.arange(1.0, 5000.0, 0.1)
+    v0, vn, n_per_v, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, CUT_OFF)
+    params = line_profile_params(pack, 288.99, 98388.0, 6.637074e-03,
+                                 keep=keep)
+    kin = kernel_inputs(params, v0, n_per_v, CUT_OFF)
+    arrays = lineshape.prepare_kernel_arrays(kin, n_per_v, np.float32)
+    return arrays, kin, n, n_per_v, keep
+
+
+def chained_time(fn, reps):
+    """Device time per call of fn (a jitted scalar-returning closure over
+    an integer rep count), by differencing 1 vs reps+1 chained calls."""
+    float(fn(1))
+    t0 = time.perf_counter()
+    float(fn(1))
+    one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fn(reps + 1))
+    many = time.perf_counter() - t0
+    return (many - one) / reps
+
+
+def main():
+    num_lines = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    arrays, kin, n, n_per_v, keep = workload(num_lines)
+    tile, chunk = lp.DEFAULT_TILE, lp.DEFAULT_CHUNK
+    soa, _ = lp.pack_lines_soa(arrays, chunk)
+    s_idx = arrays["s_idx"].astype(np.int64)
+    e_idx = arrays["e_idx"].astype(np.int64)
+    w_start, w_n = lp.tile_line_ranges(s_idx, e_idx, n, tile, chunk)
+    core_w = core_halfwidth({"y": kin["y"], "repwid": kin["repwid"]},
+                            n_per_v, CUT_OFF)
+    center = np.rint(arrays["c_int"]).astype(np.int64)
+    c_start, c_n = lp.tile_line_ranges(
+        np.maximum(center - core_w, s_idx),
+        np.minimum(center + core_w, e_idx), n, tile, chunk)
+    soa_d, ws, wn, cs, cn = map(jax.device_put,
+                                (soa, w_start, w_n, c_start, c_n))
+
+    def make(kind, st, nc):
+        @jax.jit
+        def run(reps):
+            def body(i, carry):
+                acc, s = carry
+                s = jnp.where(acc >= -1.0, s, 0.0)
+                out = lp._pallas_pass(s, st, nc, int(n), tile, chunk, kind)
+                return (acc + out[0], s)
+            acc, _ = jax.lax.fori_loop(0, reps, body,
+                                       (jnp.float32(0), soa_d))
+            return acc
+        return run
+
+    @jax.jit
+    def two_pass(reps):
+        def body(i, carry):
+            acc, s = carry
+            s = jnp.where(acc >= -1.0, s, 0.0)
+            out = lp._pallas_pass(s, ws, wn, int(n), tile, chunk, "wings")
+            out = out + lp._pallas_pass(s, cs, cn, int(n), tile, chunk,
+                                        "core")
+            return (acc + out[0], s)
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), soa_d))
+        return acc
+
+    evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
+    for name, fn, visits in [
+            ("wings", make("wings", ws, wn), int(w_n.sum()) * chunk),
+            ("core", make("core", cs, cn), int(c_n.sum()) * chunk),
+            ("two-pass", two_pass, None)]:
+        dt = chained_time(fn, reps)
+        line = f"{name:9s} {dt * 1e3:8.2f} ms/spectrum"
+        if visits:
+            line += f"  ({visits} line-tile visits)"
+        else:
+            line += f"  ({evals / dt / 1e9:.1f} G ref-evals/s)"
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
