@@ -67,21 +67,23 @@ def tpu_rate(pack, grid, reps=10):
     plan = make_device_plan(arrays, kin, n, n_per_v, CUT_OFF)
 
     @jax.jit
-    def chained(soa, nreps):
+    def chained(soa, groups, nreps):
         def body(i, carry):
-            acc, s = carry
+            acc, s, g = carry
             s = jnp.where(acc >= -1.0, s, 0.0)  # true loop dependence
-            out = plan.run_with_soa(s)
-            return (acc + out[0], s)
-        acc, _ = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), soa))
+            g = jnp.where(acc >= -1.0, g, 0.0)
+            out = plan.run_with(s, g)
+            return (acc + out[0], s, g)
+        acc, _, _ = jax.lax.fori_loop(0, nreps, body,
+                                      (jnp.float32(0), soa, groups))
         return acc
 
-    float(chained(plan.soa, 1))                 # compile
+    float(chained(plan.soa, plan.groups, 1))    # compile
     t0 = time.perf_counter()
-    float(chained(plan.soa, 1))
+    float(chained(plan.soa, plan.groups, 1))
     one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chained(plan.soa, reps + 1))
+    float(chained(plan.soa, plan.groups, reps + 1))
     many = time.perf_counter() - t0
     per_spectrum = max((many - one) / reps, 1e-9)
     evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)

@@ -144,6 +144,270 @@ def _correction_line(point, c_int, c_frac, srw, y, pref, s, e, acc):
     return jax.lax.cond(y >= 70.55, lambda: acc, corrected)
 
 
+# --- Rows-formulation core pass -------------------------------------------
+#
+# The scalar-per-line core pass evaluates the Humlicek correction over a
+# full 1024-point tile per line, while the correction is nonzero only
+# within |x| < xlim0 (typically ~2 cm-1, a fraction of one 128-lane row).
+# The rows formulation instead processes 8 lines per (8, 128) block — one
+# line per sublane row, each evaluated over its own 128-point row — so the
+# expensive correction math is shared by 8 lines (measured ~4.7x fewer
+# cycles/line than the scalar formulation on a v5e).
+#
+# Host-side grouping: each line is expanded into one *instance* per
+# 128-point row its core window touches; instances are packed per tile
+# into groups of 8 (one instance per row slot; rows with fewer instances
+# pad with dead slots).  Group parameters are stored as a (56, G) f32
+# array (7 fields x 8 row slots on sublanes, groups on lanes), DMA'd in
+# double-buffered chunks; the kernel splats each slot's scalars across its
+# row with precomputed row-iota selects.
+
+ROW = 128                 # points per sublane row (f32 lane count).
+ROWS_CHUNK = 128          # groups per DMA chunk (lane-alignment unit).
+N_FIELDS = 7              # c_int, c_frac, srw, y, pref, s, e.
+
+
+def build_core_groups(core_start, core_end, num_points, tile=DEFAULT_TILE,
+                      chunk=ROWS_CHUNK):
+    """Packs per-line core windows into per-tile groups of 8 row instances.
+
+    Args:
+        core_start / core_end: [N] inclusive core-window point ranges in
+            nu-sorted line order (entries with end < start are dropped).
+        num_points: grid size.
+        tile: output tile width in points (must be 8 * ROW).
+        chunk: group-chunk size (DMA granularity; lane-dim alignment).
+
+    Returns:
+        (inst_line[8, G_total] int64 with -1 for dead slots,
+         group_start[T] int32, group_chunks[T] int32); G_total is
+        chunk-aligned per tile so chunk DMAs never straddle tiles.
+    """
+    row_width = tile // 8     # 128 lanes on TPU; smaller in interpret mode
+    cs = np.clip(core_start, 0, num_points - 1)
+    ce = np.clip(core_end, 0, num_points - 1)
+    valid = (np.asarray(core_end) >= np.asarray(core_start)) \
+        & (np.asarray(core_end) >= 0) & (np.asarray(core_start) < num_points)
+    r0 = cs // row_width
+    r1 = ce // row_width
+    counts = np.where(valid, r1 - r0 + 1, 0).astype(np.int64)
+    num_tiles = -(-num_points // tile)
+
+    inst_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off = np.arange(inst_of.size, dtype=np.int64) - np.repeat(starts, counts)
+    rows = r0[inst_of] + off
+
+    order = np.argsort(rows, kind="stable")     # nu order kept within rows
+    rows_s = rows[order]
+    lines_s = inst_of[order]
+
+    rows_total = num_tiles * 8
+    row_counts = np.bincount(rows_s, minlength=rows_total)
+    per_tile = row_counts.reshape(num_tiles, 8)
+    groups_t = per_tile.max(axis=1)
+    padded_t = -(-groups_t // chunk) * chunk
+    col_start = np.concatenate(([0], np.cumsum(padded_t)[:-1]))
+    total = int(padded_t.sum())
+
+    inst_line = np.full((8, max(total, chunk)), -1, dtype=np.int64)
+    if rows_s.size:
+        row_first = np.concatenate(([0], np.cumsum(row_counts)[:-1]))
+        pos = np.arange(rows_s.size, dtype=np.int64) - row_first[rows_s]
+        inst_line[rows_s % 8, col_start[rows_s // 8] + pos] = lines_s
+    return (inst_line, col_start.astype(np.int32),
+            (padded_t // chunk).astype(np.int32))
+
+
+def gather_group_params(kernel_arrays, inst_line, xp=np):
+    """Builds the ([B,] 56, G) f32 group-parameter block.
+
+    Field r-slot layout: row f*8+r holds field f of the instance assigned
+    to sublane r.  Dead slots (-1) get (0, 0, 1, 1, 0, -1, -2) so the
+    in-kernel window mask rejects every point.  Works with numpy (host
+    plan) or jnp (device, layer-batched).
+    """
+    idx = xp.maximum(inst_line, 0)
+    dead = inst_line < 0
+    fields = (("c_int", 0.0), ("c_frac", 0.0), ("scaled_repwid", 1.0),
+              ("y", 1.0), ("prefactor", 0.0), ("s_idx", -1.0),
+              ("e_idx", -2.0))
+    blocks = []
+    for name, fill in fields:
+        v = kernel_arrays[name]
+        taken = v[..., idx].astype(xp.float32)
+        blocks.append(xp.where(dead, xp.float32(fill), taken))
+    return xp.concatenate(blocks, axis=-2)
+
+
+def _rows_body(point, row_eq, buf, slot, g, acc):
+    """Accumulates one group: 8 instances, one per sublane row."""
+    def splat(f):
+        v = jnp.zeros_like(point)
+        for r in range(8):
+            v = jnp.where(row_eq[r], buf[slot, f * 8 + r, g], v)
+        return v
+
+    c_int, c_frac, srw, y, pref, s, e = (splat(f) for f in range(N_FIELDS))
+    x = ((point - c_int) - c_frac) * srw
+    val = pref * voigt_correction(x, y)
+    mask = (point >= s) & (point <= e)
+    return acc + jnp.where(mask, val, 0.0)
+
+
+def _rows_kernel(chunk, tile, start_ref, nchunks_ref, groups_ref, out_ref,
+                 buf, sems):
+    t = pl.program_id(0)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * tile + row * lanes + col).astype(jnp.float32)
+    row_eq = [row == r for r in range(8)]
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            groups_ref.at[:, pl.ds(offset, chunk)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def group_body(j, acc):
+            g = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            acc = _rows_body(point, row_eq, buf, slot, g, acc)
+            acc = _rows_body(point, row_eq, buf, slot, g + one_i32, acc)
+            acc = _rows_body(point, row_eq, buf, slot, g + 2 * one_i32, acc)
+            return _rows_body(point, row_eq, buf, slot, g + 3 * one_i32, acc)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4), group_body, acc)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None]
+
+
+def _rows_kernel_batched(chunk, tile, start_ref, nchunks_ref, groups_ref,
+                         out_ref, buf, sems):
+    """(layer, tile) grid over [B, 56, G] group params with [T] CSR
+    (instance grouping is layer-independent; masks are per-layer)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * tile + row * lanes + col).astype(jnp.float32)
+    row_eq = [row == r for r in range(8)]
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            groups_ref.at[b, :, pl.ds(offset, chunk)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def group_body(j, acc):
+            g = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            acc = _rows_body(point, row_eq, buf, slot, g, acc)
+            acc = _rows_body(point, row_eq, buf, slot, g + one_i32, acc)
+            acc = _rows_body(point, row_eq, buf, slot, g + 2 * one_i32, acc)
+            return _rows_body(point, row_eq, buf, slot, g + 3 * one_i32, acc)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4), group_body, acc)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None, None]
+
+
+def _pallas_rows_pass(groups, start, nchunks, num_points, tile,
+                      chunk=ROWS_CHUNK, interpret=False):
+    """Core correction via the rows kernel; returns [num_points] (or
+    [B, num_points] for a batched [B, 56, G] groups block)."""
+    num_tiles = -(-num_points // tile)
+    padded_points = num_tiles * tile
+    batched = groups.ndim == 3
+    if batched:
+        num_layers = groups.shape[0]
+        kernel = functools.partial(_rows_kernel_batched, chunk, tile)
+        grid = (num_layers, num_tiles)
+        out_spec = pl.BlockSpec(
+            (1, 1, 8, tile // 8),
+            lambda b, t, *_: (b, t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (num_layers, num_tiles, 8, tile // 8), jnp.float32)
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        kernel = functools.partial(_rows_kernel, chunk, tile)
+        grid = (num_tiles,)
+        out_spec = pl.BlockSpec(
+            (1, 8, tile // 8),
+            lambda t, *_: (t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((num_tiles, 8, tile // 8),
+                                         jnp.float32)
+        semantics = ("arbitrary",)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.SMEM((2, N_FIELDS * 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
+        ),
+    )(start, nchunks, groups)
+    if batched:
+        return out.reshape(num_layers, padded_points)[:, :num_points]
+    return out.reshape(padded_points)[:num_points]
+
+
 def _tile_kernel(line_fn, chunk, tile, start_ref, nchunks_ref, lines_ref,
                  out_ref, buf, sems):
     """One grid step: accumulate all of one tile's line chunks.
@@ -186,17 +450,24 @@ def _tile_kernel(line_fn, chunk, tile, start_ref, nchunks_ref, lines_ref,
 
         chunk_dma(slot, k).wait()
 
-        def line_body(i, acc):
+        def one(i, acc):
             return line_fn(point,
                            buf[slot, C_INT, i], buf[slot, C_FRAC, i],
                            buf[slot, SRW, i], buf[slot, Y, i],
                            buf[slot, PREF, i], buf[slot, S_IDX, i],
                            buf[slot, E_IDX, i], acc)
 
-        return jax.lax.fori_loop(0, chunk, line_body, acc)
+        def line_body(j, acc):
+            # Manual 4x unroll: amortizes Mosaic loop bookkeeping.  The
+            # astype keeps the index i32 under jax_enable_x64.
+            i = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            return one(i + 3 * one_i32, one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4), line_body, acc)
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
-    acc = jax.lax.fori_loop(0, nchunks, chunk_body, acc)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
     out_ref[...] = acc[None]
 
 
@@ -290,17 +561,24 @@ def _tile_kernel_batched(line_fn, chunk, tile, start_ref, nchunks_ref,
 
         chunk_dma(slot, k).wait()
 
-        def line_body(i, acc):
+        def one(i, acc):
             return line_fn(point,
                            buf[slot, C_INT, i], buf[slot, C_FRAC, i],
                            buf[slot, SRW, i], buf[slot, Y, i],
                            buf[slot, PREF, i], buf[slot, S_IDX, i],
                            buf[slot, E_IDX, i], acc)
 
-        return jax.lax.fori_loop(0, chunk, line_body, acc)
+        def line_body(j, acc):
+            # Manual 4x unroll: amortizes Mosaic loop bookkeeping.  The
+            # astype keeps the index i32 under jax_enable_x64.
+            i = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            return one(i + 3 * one_i32, one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4), line_body, acc)
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
-    acc = jax.lax.fori_loop(0, nchunks, chunk_body, acc)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
     out_ref[...] = acc[None, None]
 
 
@@ -348,6 +626,51 @@ def _pallas_two_pass_batched(soa, w_start, w_n, c_start, c_n, num_points,
                                       chunk, "core", interpret)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("num_points", "tile", "chunk",
+                                    "rows_chunk", "interpret"))
+def _pallas_wings_rows(soa, w_start, w_n, groups, g_start, g_n, num_points,
+                       tile, chunk, rows_chunk, interpret=False):
+    """Wings (scalar-line kernel) + core (rows kernel) in one program."""
+    out = _pallas_pass(soa, w_start, w_n, num_points, tile, chunk, "wings",
+                       interpret)
+    return out + _pallas_rows_pass(groups, g_start, g_n, num_points, tile,
+                                   rows_chunk, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_points", "tile", "chunk",
+                                    "rows_chunk", "interpret"))
+def _pallas_wings_rows_batched(soa, w_start, w_n, groups, g_start, g_n,
+                               num_points, tile, chunk, rows_chunk,
+                               interpret=False):
+    out = _pallas_pass_batched(soa, w_start, w_n, num_points, tile, chunk,
+                               "wings", interpret)
+    return out + _pallas_rows_pass(groups, g_start, g_n, num_points, tile,
+                                   rows_chunk, interpret)
+
+
+def core_instance_windows(kernel_arrays, kin, num_points, n_per_v, cut_off):
+    """Per-line core-correction point windows for instance grouping.
+
+    Lines with (float32) y >= 70.55 are pure Lorentzian in the reference
+    (voigt.c:17-27) — their correction is identically zero, so they are
+    dropped here instead of being skipped inside the kernel.
+    """
+    from .lineshape import core_halfwidth
+
+    core_w = core_halfwidth(
+        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
+    s_idx = kernel_arrays["s_idx"].astype(np.int64)
+    e_idx = kernel_arrays["e_idx"].astype(np.int64)
+    center = np.rint(kernel_arrays["c_int"]).astype(np.int64)
+    cs = np.maximum(center - core_w, s_idx)
+    ce = np.minimum(center + core_w, e_idx)
+    ce = np.where(kernel_arrays["y"].astype(np.float32) >= 70.55,
+                  cs - 1, ce)
+    return cs, ce
+
+
 def accumulate_tpu_batched(kernel_arrays, kin, num_points, n_per_v, cut_off,
                            tile=DEFAULT_TILE, chunk=DEFAULT_CHUNK,
                            interpret=False):
@@ -369,22 +692,33 @@ def accumulate_tpu_batched(kernel_arrays, kin, num_points, n_per_v, cut_off,
     soa, _ = pack_lines_soa(kernel_arrays, chunk)
     core_w = core_halfwidth(
         {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
-    w_starts, w_ns, c_starts, c_ns = [], [], [], []
+    w_starts, w_ns = [], []
     for b in range(num_layers):
         s_idx = kernel_arrays["s_idx"][b].astype(np.int64)
         e_idx = kernel_arrays["e_idx"][b].astype(np.int64)
         ws, wn = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
-        center = np.rint(kernel_arrays["c_int"][b]).astype(np.int64)
-        cs, cn = tile_line_ranges(
-            np.maximum(center - core_w, s_idx),
-            np.minimum(center + core_w, e_idx), num_points, tile, chunk)
         w_starts.append(ws)
         w_ns.append(wn)
-        c_starts.append(cs)
-        c_ns.append(cn)
-    return _pallas_two_pass_batched(
-        soa, np.stack(w_starts), np.stack(w_ns), np.stack(c_starts),
-        np.stack(c_ns), int(num_points), tile, chunk, interpret)
+
+    # Rows-core grouping shared across layers: instances cover the union
+    # of the per-layer core windows; the in-kernel masks (per-layer s/e)
+    # and the |x| < xlim0 zeroing keep each layer's sum exact.
+    s_idx = kernel_arrays["s_idx"].astype(np.int64)
+    e_idx = kernel_arrays["e_idx"].astype(np.int64)
+    center = np.rint(kernel_arrays["c_int"]).astype(np.int64)
+    cs = np.maximum(center - core_w, s_idx).min(axis=0)
+    ce = np.minimum(center + core_w, e_idx).max(axis=0)
+    all_lorentz = (kernel_arrays["y"].astype(np.float32) >= 70.55).all(
+        axis=0)
+    ce = np.where(all_lorentz, cs - 1, ce)
+    inst_line, g_start, g_n = build_core_groups(cs, ce, num_points, tile)
+    groups = np.stack([
+        gather_group_params({k: v[b] for k, v in kernel_arrays.items()},
+                            inst_line)
+        for b in range(num_layers)])
+    return _pallas_wings_rows_batched(
+        soa, np.stack(w_starts), np.stack(w_ns), groups, g_start, g_n,
+        int(num_points), tile, chunk, ROWS_CHUNK, interpret)
 
 
 class DevicePlan:
@@ -397,49 +731,45 @@ class DevicePlan:
     absorption.c:44-73), so repeated spectra cost no host->device traffic.
     """
 
-    def __init__(self, soa, w_start, w_n, c_start, c_n, num_points, tile,
-                 chunk, interpret=False):
+    def __init__(self, soa, w_start, w_n, groups, g_start, g_n, num_points,
+                 tile, chunk, interpret=False):
         self.soa = jax.device_put(soa)
         self.w_start = jax.device_put(w_start)
         self.w_n = jax.device_put(w_n)
-        self.c_start = jax.device_put(c_start)
-        self.c_n = jax.device_put(c_n)
+        self.groups = jax.device_put(groups)
+        self.g_start = jax.device_put(g_start)
+        self.g_n = jax.device_put(g_n)
         self.num_points = int(num_points)
         self.tile = tile
         self.chunk = chunk
         self.interpret = interpret
 
     def __call__(self):
-        return _pallas_two_pass(self.soa, self.w_start, self.w_n,
-                                self.c_start, self.c_n, self.num_points,
-                                self.tile, self.chunk, self.interpret)
+        return self.run_with(self.soa, self.groups)
 
-    def run_with_soa(self, soa):
+    def run_with(self, soa, groups):
         """Traceable variant for embedding in a larger jitted program
         (e.g. the benchmark's chained-rep loop)."""
-        return _pallas_two_pass(soa, self.w_start, self.w_n,
-                                self.c_start, self.c_n, self.num_points,
-                                self.tile, self.chunk, self.interpret)
+        return _pallas_wings_rows(soa, self.w_start, self.w_n, groups,
+                                  self.g_start, self.g_n, self.num_points,
+                                  self.tile, self.chunk, ROWS_CHUNK,
+                                  self.interpret)
 
 
 def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
                      tile=DEFAULT_TILE, chunk=DEFAULT_CHUNK,
                      interpret=False):
     """Builds a DevicePlan from host kernel arrays (see accumulate_tpu)."""
-    from .lineshape import core_halfwidth
-
     soa, num = pack_lines_soa(kernel_arrays, chunk)
     s_idx = kernel_arrays["s_idx"].astype(np.int64)
     e_idx = kernel_arrays["e_idx"].astype(np.int64)
     w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
-    core_w = core_halfwidth(
-        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
-    center = np.rint(kernel_arrays["c_int"]).astype(np.int64)
-    c_start, c_n = tile_line_ranges(
-        np.maximum(center - core_w, s_idx),
-        np.minimum(center + core_w, e_idx), num_points, tile, chunk)
-    return DevicePlan(soa, w_start, w_n, c_start, c_n, num_points, tile,
-                      chunk, interpret)
+    cs, ce = core_instance_windows(kernel_arrays, kin, num_points, n_per_v,
+                                   cut_off)
+    inst_line, g_start, g_n = build_core_groups(cs, ce, num_points, tile)
+    groups = gather_group_params(kernel_arrays, inst_line)
+    return DevicePlan(soa, w_start, w_n, groups, g_start, g_n, num_points,
+                      tile, chunk, interpret)
 
 
 def accumulate_tpu(kernel_arrays, kin, num_points, n_per_v, cut_off,
@@ -456,24 +786,8 @@ def accumulate_tpu(kernel_arrays, kin, num_points, n_per_v, cut_off,
     Returns:
         jnp float32 [num_points] absorption cross sections.
     """
-    from .lineshape import core_halfwidth
-
     if kernel_arrays["prefactor"].shape[-1] == 0:
         return jnp.zeros((num_points,), dtype=jnp.float32)
-    soa, num = pack_lines_soa(kernel_arrays, chunk)
-    s_idx = kernel_arrays["s_idx"].astype(np.int64)
-    e_idx = kernel_arrays["e_idx"].astype(np.int64)
-
-    # Wings CSR: the full +/-cutoff windows.
-    w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
-
-    # Core CSR: only the |x| < xlim0 neighborhood of each center.
-    core_w = core_halfwidth(
-        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
-    center = np.rint(kernel_arrays["c_int"]).astype(np.int64)
-    c_start_w = np.maximum(center - core_w, s_idx)
-    c_end_w = np.minimum(center + core_w, e_idx)
-    c_start, c_n = tile_line_ranges(c_start_w, c_end_w, num_points, tile,
-                                    chunk)
-    return _pallas_two_pass(soa, w_start, w_n, c_start, c_n,
-                            int(num_points), tile, chunk, interpret)
+    plan = make_device_plan(kernel_arrays, kin, int(num_points), n_per_v,
+                            cut_off, tile, chunk, interpret)
+    return plan()

@@ -194,19 +194,23 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     e_wide = (b0 + 1 + cut_off + 1 - v0) * n_per_v
     w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points, tile,
                                        chunk)
-    # Core sizing from worst-case (coldest plausible) Doppler widths.
+    # Rows-core instance grouping, layer-independent: instance windows use
+    # worst-case (hottest plausible) Doppler widths widened by one
+    # wavenumber of pressure-shift slop; the in-kernel per-layer masks and
+    # the |x| < xlim0 zeroing keep each layer's sum exact.
     alpha_ref = (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
         c.R2 * 350.0 / np.maximum(pack.mass[:keep], 1.0))
     repwid_ref = c.SQRT_LN2 / np.maximum(alpha_ref, 1e-300)
     core_w = core_halfwidth(
         {"y": np.zeros(keep), "repwid": repwid_ref}, n_per_v, cut_off)
     center0 = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
-    c_start, c_n = lp.tile_line_ranges(
+    inst_line, g_start, g_n = lp.build_core_groups(
         np.maximum(center0 - core_w - n_per_v, s_wide),
         np.minimum(center0 + core_w + n_per_v, e_wide),
-        num_points, tile, chunk)
+        num_points, tile)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    inst_line_dev = jnp.asarray(inst_line)
     pad = -keep % chunk
 
     @jax.jit
@@ -219,18 +223,22 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                     ka["e_idx"].astype(jnp.float32),
                     jnp.zeros_like(ka["c_frac"])]
             fill = [0.0, 0.0, 1.0, 1.0, 0.0, -1.0, -2.0, 0.0]
-            rows = [jnp.pad(r, (0, pad), constant_values=v)
-                    for r, v in zip(rows, fill)]
-            return jnp.stack(rows, axis=0)        # [8, N_pad].
+            padded = [jnp.pad(r, (0, pad), constant_values=v)
+                      for r, v in zip(rows, fill)]
+            soa = jnp.stack(padded, axis=0)       # [8, N_pad].
+            groups = lp.gather_group_params(
+                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                 "e_idx": ka["e_idx"]}, inst_line_dev, xp=jnp)
+            return soa, groups
 
-        soa = jax.vmap(one_layer)(temperature, pressure, vmr)
+        soa, groups = jax.vmap(one_layer)(temperature, pressure, vmr)
         batch = soa.shape[0]
-        return lp._pallas_two_pass_batched(
+        return lp._pallas_wings_rows_batched(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
-            np.broadcast_to(c_start, (batch,) + c_start.shape),
-            np.broadcast_to(c_n, (batch,) + c_n.shape),
-            num_points, tile, chunk)
+            groups, g_start, g_n, num_points, tile, chunk, lp.ROWS_CHUNK)
 
     return fn
 

@@ -73,8 +73,12 @@ def main():
     c_start, c_n = lp.tile_line_ranges(
         np.maximum(center - core_w, s_idx),
         np.minimum(center + core_w, e_idx), n, tile, chunk)
+    cs_w, ce_w = lp.core_instance_windows(arrays, kin, n, n_per_v, CUT_OFF)
+    inst_line, g_start, g_n = lp.build_core_groups(cs_w, ce_w, n, tile)
+    groups = lp.gather_group_params(arrays, inst_line)
     soa_d, ws, wn, cs, cn = map(jax.device_put,
                                 (soa, w_start, w_n, c_start, c_n))
+    groups_d, gs, gn = map(jax.device_put, (groups, g_start, g_n))
 
     def make(kind, st, nc):
         @jax.jit
@@ -90,26 +94,40 @@ def main():
         return run
 
     @jax.jit
+    def rows_core(reps):
+        def body(i, carry):
+            acc, g = carry
+            g = jnp.where(acc >= -1.0, g, 0.0)
+            out = lp._pallas_rows_pass(g, gs, gn, int(n), tile)
+            return (acc + out[0], g)
+        acc, _ = jax.lax.fori_loop(0, reps, body,
+                                   (jnp.float32(0), groups_d))
+        return acc
+
+    @jax.jit
     def two_pass(reps):
         def body(i, carry):
-            acc, s = carry
+            acc, s, g = carry
             s = jnp.where(acc >= -1.0, s, 0.0)
+            g = jnp.where(acc >= -1.0, g, 0.0)
             out = lp._pallas_pass(s, ws, wn, int(n), tile, chunk, "wings")
-            out = out + lp._pallas_pass(s, cs, cn, int(n), tile, chunk,
-                                        "core")
-            return (acc + out[0], s)
-        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), soa_d))
+            out = out + lp._pallas_rows_pass(g, gs, gn, int(n), tile)
+            return (acc + out[0], s, g)
+        acc, _, _ = jax.lax.fori_loop(0, reps, body,
+                                      (jnp.float32(0), soa_d, groups_d))
         return acc
 
     evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
+    slots = int(g_n.sum()) * lp.ROWS_CHUNK * 8
     for name, fn, visits in [
             ("wings", make("wings", ws, wn), int(w_n.sum()) * chunk),
-            ("core", make("core", cs, cn), int(c_n.sum()) * chunk),
+            ("core-scalar", make("core", cs, cn), int(c_n.sum()) * chunk),
+            ("core-rows", rows_core, slots),
             ("two-pass", two_pass, None)]:
         dt = chained_time(fn, reps)
-        line = f"{name:9s} {dt * 1e3:8.2f} ms/spectrum"
+        line = f"{name:12s} {dt * 1e3:8.2f} ms/spectrum"
         if visits:
-            line += f"  ({visits} line-tile visits)"
+            line += f"  ({visits} line-tile visits / instance slots)"
         else:
             line += f"  ({evals / dt / 1e9:.1f} G ref-evals/s)"
         print(line)
