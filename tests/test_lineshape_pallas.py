@@ -63,3 +63,96 @@ def test_empty_line_list():
              lineshape.prepare_kernel_arrays(kin, npv, np.float32).items()}
     out = np.asarray(accumulate_tpu(empty, kin, n, npv, 25, interpret=True))
     assert np.array_equal(out, np.zeros(n, dtype=np.float32))
+
+
+def test_build_core_groups_covers_every_instance():
+    """Every (line, row) the core window touches must land in exactly one
+    group slot of the right tile/row, in nu order within its row."""
+    from pylbl_tpu.ops.lineshape_pallas import build_core_groups
+
+    rng = np.random.default_rng(3)
+    n_lines, num_points, tile, chunk = 500, 5000, 256, 32
+    row_w = tile // 8
+    center = np.sort(rng.integers(-50, num_points + 50, n_lines))
+    half = rng.integers(0, 3 * row_w, n_lines)   # some spanning >2 rows
+    cs, ce = center - half, center + half
+    inst_line, start, nchunks = build_core_groups(cs, ce, num_points, tile,
+                                                  chunk)
+    seen = {}
+    for r in range(8):
+        for g in range(inst_line.shape[1]):
+            line = inst_line[r, g]
+            if line >= 0:
+                t = np.searchsorted(start, g, side="right") - 1
+                key = (int(line), t * 8 + r)
+                assert key not in seen, "duplicate instance"
+                seen[key] = True
+    for i in range(n_lines):
+        lo = max(cs[i], 0)
+        hi = min(ce[i], num_points - 1)
+        if ce[i] < cs[i] or hi < 0 or lo >= num_points:
+            continue
+        for row in range(lo // row_w, hi // row_w + 1):
+            assert (i, row) in seen, f"missing instance line={i} row={row}"
+    assert len(seen) == sum(1 for _ in seen)
+    # Chunk alignment of per-tile group ranges.
+    assert np.all(start % chunk == 0)
+
+
+def test_gather_group_params_dead_slots():
+    from pylbl_tpu.ops.lineshape_pallas import gather_group_params
+
+    arrays = {
+        "c_int": np.array([3, 7], np.int32),
+        "c_frac": np.array([0.25, -0.5], np.float32),
+        "scaled_repwid": np.array([2.0, 3.0], np.float32),
+        "y": np.array([0.5, 4.0], np.float32),
+        "prefactor": np.array([1.5, 2.5], np.float32),
+        "s_idx": np.array([0, 10], np.int32),
+        "e_idx": np.array([5, 20], np.int32),
+    }
+    inst = np.array([[0, -1], [1, 1], [-1, 0], [0, 1],
+                     [-1, -1], [1, 0], [0, -1], [1, 1]], np.int64).T
+    inst = np.ascontiguousarray(inst.reshape(8, 2))
+    groups = gather_group_params(arrays, inst)
+    assert groups.shape == (56, 2)
+    dead = inst < 0
+    # Dead slots: window [-1, -2] so every point masks off.
+    s_rows = groups[5 * 8:6 * 8]
+    e_rows = groups[6 * 8:7 * 8]
+    assert np.all(s_rows[dead] == -1.0) and np.all(e_rows[dead] == -2.0)
+    live = ~dead
+    c_rows = groups[0:8]
+    assert np.all(c_rows[live] == arrays["c_int"][inst[live]])
+
+
+def test_rows_pass_matches_scalar_core(tmp_path):
+    """The rows-formulation core pass must match the scalar core pass
+    bit-for-bit per point up to addition order (compare at f64-ish tol)."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 256, 128
+    soa, _ = pack_lines_soa(arrays, chunk)
+    s = arrays["s_idx"].astype(np.int64)
+    e = arrays["e_idx"].astype(np.int64)
+    from pylbl_tpu.ops.lineshape import core_halfwidth
+    core_w = core_halfwidth({"y": kin["y"], "repwid": kin["repwid"]},
+                            npv, 25)
+    center = np.rint(arrays["c_int"]).astype(np.int64)
+    c_start, c_n = tile_line_ranges(np.maximum(center - core_w, s),
+                                    np.minimum(center + core_w, e),
+                                    n, tile, chunk)
+    scalar = np.asarray(lp._pallas_pass(
+        jax.device_put(soa), c_start, c_n, int(n), tile, chunk, "core",
+        interpret=True))
+    cs, ce = lp.core_instance_windows(arrays, kin, n, npv, 25)
+    inst_line, g_start, g_n = lp.build_core_groups(cs, ce, n, tile, chunk)
+    groups = lp.gather_group_params(arrays, inst_line)
+    rows = np.asarray(lp._pallas_rows_pass(
+        jax.device_put(groups), g_start, g_n, int(n), tile, chunk,
+        interpret=True))
+    scale = np.abs(scalar).max()
+    np.testing.assert_allclose(rows, scalar, atol=scale * 1e-6)
