@@ -103,6 +103,20 @@ def core_halfwidth(kin, n_per_v, cut_off):
                    (cut_off + 1) * n_per_v))
 
 
+def core_halfwidths(repwid, n_per_v, cut_off):
+    """Per-line core-window half widths in grid points.
+
+    Same coverage guarantee as :func:`core_halfwidth` (|x| < XLIM0_MAX for
+    that line at the given Doppler width) but per line, for the instance-
+    based rows kernel where window sizes need not be jit-static.  The core
+    window scales as 1/repwid ~ alpha ~ nu, so low-nu lines get windows
+    many times narrower than the global bound.
+    """
+    repwid = np.asarray(repwid, dtype=np.float64)
+    width = np.ceil(XLIM0_MAX / np.maximum(repwid, 1e-300) * n_per_v) + 1
+    return np.minimum(width, (cut_off + 1) * n_per_v).astype(np.int64)
+
+
 def _accumulate_impl(arrays, origin, num_points, total_points, window,
                      core_window, chunk):
     """Two-pass masked scatter-add accumulation over line chunks.

@@ -657,10 +657,9 @@ def core_instance_windows(kernel_arrays, kin, num_points, n_per_v, cut_off):
     (voigt.c:17-27) — their correction is identically zero, so they are
     dropped here instead of being skipped inside the kernel.
     """
-    from .lineshape import core_halfwidth
+    from .lineshape import core_halfwidths
 
-    core_w = core_halfwidth(
-        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
+    core_w = core_halfwidths(kin["repwid"], n_per_v, cut_off)
     s_idx = kernel_arrays["s_idx"].astype(np.int64)
     e_idx = kernel_arrays["e_idx"].astype(np.int64)
     center = np.rint(kernel_arrays["c_int"]).astype(np.int64)
@@ -684,14 +683,17 @@ def accumulate_tpu_batched(kernel_arrays, kin, num_points, n_per_v, cut_off,
     Returns:
         jnp float32 [B, num_points].
     """
-    from .lineshape import core_halfwidth
+    from .lineshape import core_halfwidths
 
     num_layers, num = kernel_arrays["prefactor"].shape
     if num == 0:
         return jnp.zeros((num_layers, num_points), dtype=jnp.float32)
     soa, _ = pack_lines_soa(kernel_arrays, chunk)
-    core_w = core_halfwidth(
-        {"y": kin["y"], "repwid": kin["repwid"]}, n_per_v, cut_off)
+    # Per-line widths sized for the layer with the widest Doppler width
+    # (smallest repwid -> widest core window in points) so the shared
+    # instances cover every layer's core exactly.
+    core_w = core_halfwidths(np.asarray(kin["repwid"]).min(axis=0),
+                             n_per_v, cut_off)
     w_starts, w_ns = [], []
     for b in range(num_layers):
         s_idx = kernel_arrays["s_idx"][b].astype(np.int64)

@@ -156,7 +156,7 @@ def _pad_to_chunk(kernel_arrays, chunk):
 
 
 def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
-                        tile=None, chunk=None):
+                        tile=None, chunk=None, t_max=350.0, p_max_atm=5.0):
     """Builds the fused single-chip batched pipeline for one (gas, grid).
 
     Line constants transfer to the device once (~14 MB for a 300k-line
@@ -167,13 +167,21 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     sub-0.1 cm-1), so they are layer-independent; the in-kernel window
     masks use the exact per-layer windows.
 
+    The layer-independent core-instance windows are sized per line for the
+    hottest plausible layer (``t_max``, bounding the Doppler width from
+    above) plus that line's own worst-case pressure shift at ``p_max_atm``
+    atmospheres; calling the returned fn with conditions outside those
+    bounds loses core-correction coverage at window edges (the wings term
+    stays exact).  Defaults cover any terrestrial atmosphere with wide
+    margin.
+
     Returns:
         fn(temperature[B], pressure[B], vmr[B]) -> jnp float32 [B, n]
         absorption cross sections on the internal grid.
     """
     import jax.numpy as jnp
     from ..ops import lineshape_pallas as lp
-    from ..ops.lineshape import core_halfwidth
+    from ..ops.lineshape import core_halfwidths
 
     tile = tile or lp.DEFAULT_TILE
     chunk = chunk or lp.DEFAULT_CHUNK
@@ -194,19 +202,21 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     e_wide = (b0 + 1 + cut_off + 1 - v0) * n_per_v
     w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points, tile,
                                        chunk)
-    # Rows-core instance grouping, layer-independent: instance windows use
-    # worst-case (hottest plausible) Doppler widths widened by one
-    # wavenumber of pressure-shift slop; the in-kernel per-layer masks and
-    # the |x| < xlim0 zeroing keep each layer's sum exact.
+    # Rows-core instance grouping, layer-independent: per-line instance
+    # windows use worst-case (t_max) Doppler widths plus each line's own
+    # worst-case pressure-shift displacement at p_max_atm; the in-kernel
+    # per-layer masks and the |x| < xlim0 zeroing keep each layer's sum
+    # exact.
     alpha_ref = (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
-        c.R2 * 350.0 / np.maximum(pack.mass[:keep], 1.0))
+        c.R2 * t_max / np.maximum(pack.mass[:keep], 1.0))
     repwid_ref = c.SQRT_LN2 / np.maximum(alpha_ref, 1e-300)
-    core_w = core_halfwidth(
-        {"y": np.zeros(keep), "repwid": repwid_ref}, n_per_v, cut_off)
+    core_w = core_halfwidths(repwid_ref, n_per_v, cut_off)
+    shift_w = np.ceil(np.abs(pack.delta_air[:keep]) * p_max_atm
+                      * n_per_v).astype(np.int64) + 1
     center0 = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
     inst_line, g_start, g_n = lp.build_core_groups(
-        np.maximum(center0 - core_w - n_per_v, s_wide),
-        np.minimum(center0 + core_w + n_per_v, e_wide),
+        np.maximum(center0 - core_w - shift_w, s_wide),
+        np.minimum(center0 + core_w + shift_w, e_wide),
         num_points, tile)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
