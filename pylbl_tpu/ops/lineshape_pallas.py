@@ -75,7 +75,9 @@ def pack_lines_soa(arrays, chunk=DEFAULT_CHUNK):
     soa[..., S_IDX, num:] = -1.0
     soa[..., E_IDX, num:] = -2.0
     soa[..., SRW, num:] = 1.0
-    soa[..., Y, num:] = 1.0
+    # Dead-line y sits above the pure-Lorentz threshold (70.55) so the
+    # scalar core pass's per-line branch skips padded lines outright.
+    soa[..., Y, num:] = 100.0
     return soa, num
 
 
@@ -165,10 +167,11 @@ def _correction_line(point, c_int, c_frac, srw, y, pref, s, e, acc):
 ROW = 128                 # points per sublane row (f32 lane count).
 ROWS_CHUNK = 128          # groups per DMA chunk (lane-alignment unit).
 N_FIELDS = 7              # c_int, c_frac, srw, y, pref, s, e.
+Y_FIELD = 3               # index of y in the group-params field order.
 
 
 def build_core_groups(core_start, core_end, num_points, tile=DEFAULT_TILE,
-                      chunk=ROWS_CHUNK):
+                      chunk=ROWS_CHUNK, sort_key=None):
     """Packs per-line core windows into per-tile groups of 8 row instances.
 
     Args:
@@ -177,6 +180,11 @@ def build_core_groups(core_start, core_end, num_points, tile=DEFAULT_TILE,
         num_points: grid size.
         tile: output tile width in points (must be 8 * ROW).
         chunk: group-chunk size (DMA granularity; lane-dim alignment).
+        sort_key: optional [N] per-line key (typically y); instances within
+            each (tile, row) stream are ordered by *descending* key so that
+            groups become y-class homogeneous and the kernel's group-min-y
+            branch can pick cheap specialized corrections (row sums are
+            order-independent up to f32 rounding).
 
     Returns:
         (inst_line[8, G_total] int64 with -1 for dead slots,
@@ -198,7 +206,11 @@ def build_core_groups(core_start, core_end, num_points, tile=DEFAULT_TILE,
     off = np.arange(inst_of.size, dtype=np.int64) - np.repeat(starts, counts)
     rows = r0[inst_of] + off
 
-    order = np.argsort(rows, kind="stable")     # nu order kept within rows
+    if sort_key is not None:
+        key = -np.asarray(sort_key, np.float64)[inst_of]   # descending y
+        order = np.lexsort((key, rows))
+    else:
+        order = np.argsort(rows, kind="stable")  # nu order kept within rows
     rows_s = rows[order]
     lines_s = inst_of[order]
 
@@ -223,14 +235,16 @@ def gather_group_params(kernel_arrays, inst_line, xp=np):
     """Builds the ([B,] 56, G) f32 group-parameter block.
 
     Field r-slot layout: row f*8+r holds field f of the instance assigned
-    to sublane r.  Dead slots (-1) get (0, 0, 1, 1, 0, -1, -2) so the
-    in-kernel window mask rejects every point.  Works with numpy (host
-    plan) or jnp (device, layer-batched).
+    to sublane r.  Dead slots (-1) get (0, 0, 1, 100, 0, -1, -2) so the
+    in-kernel window mask rejects every point and the dead y sits above
+    the pure-Lorentz threshold (a dead slot never drags a group's min-y
+    below a cheap-correction class).  Works with numpy (host plan) or jnp
+    (device, layer-batched).
     """
     idx = xp.maximum(inst_line, 0)
     dead = inst_line < 0
     fields = (("c_int", 0.0), ("c_frac", 0.0), ("scaled_repwid", 1.0),
-              ("y", 1.0), ("prefactor", 0.0), ("s_idx", -1.0),
+              ("y", 100.0), ("prefactor", 0.0), ("s_idx", -1.0),
               ("e_idx", -2.0))
     blocks = []
     for name, fill in fields:
@@ -241,18 +255,45 @@ def gather_group_params(kernel_arrays, inst_line, xp=np):
 
 
 def _rows_body(point, row_eq, buf, slot, g, acc):
-    """Accumulates one group: 8 instances, one per sublane row."""
+    """Accumulates one group: 8 instances, one per sublane row.
+
+    The Humlicek region reachability is branched on the group's *minimum*
+    y (8 SMEM scalar reads + scalar mins, nearly free): when every slot in
+    the group has y >= 8.425 only region 1 is reachable for any of its
+    points, etc. (see voigt.voigt_correction_k1/_k12/_k123 for the domain
+    proofs).  Host-side descending-y instance sorting within each
+    (tile, row) stream (build_core_groups sort_key) makes groups y-class
+    homogeneous, so the vast majority take the cheap branches; dead slots
+    carry y=100 > 70.55 and never drag a group's class down.
+    """
     def splat(f):
         v = jnp.zeros_like(point)
         for r in range(8):
             v = jnp.where(row_eq[r], buf[slot, f * 8 + r, g], v)
         return v
 
-    c_int, c_frac, srw, y, pref, s, e = (splat(f) for f in range(N_FIELDS))
-    x = ((point - c_int) - c_frac) * srw
-    val = pref * voigt_correction(x, y)
-    mask = (point >= s) & (point <= e)
-    return acc + jnp.where(mask, val, 0.0)
+    ys = [buf[slot, Y_FIELD * 8 + r, g] for r in range(8)]
+    ymin = functools.reduce(jnp.minimum, ys)
+
+    def corrected():
+        c_int, c_frac, srw, y, pref, s, e = (
+            splat(f) for f in range(N_FIELDS))
+        x = ((point - c_int) - c_frac) * srw
+        val = jax.lax.cond(
+            ymin >= 8.425,
+            lambda: voigt_correction_k1(x, y),
+            lambda: jax.lax.cond(
+                ymin >= 6.8,
+                lambda: voigt_correction_k12(x, y),
+                lambda: jax.lax.cond(
+                    ymin >= 2.0,
+                    lambda: voigt_correction_k123(x, y),
+                    lambda: voigt_correction(x, y))))
+        mask = (point >= s) & (point <= e)
+        return acc + jnp.where(mask, pref * val, 0.0)
+
+    # All-dead / all-pure-Lorentz groups contribute exactly zero.
+    return jax.lax.cond(ymin >= 70.55, lambda: acc, corrected)
 
 
 def _rows_kernel(chunk, tile, start_ref, nchunks_ref, groups_ref, out_ref,
@@ -387,7 +428,7 @@ def _pallas_rows_pass(groups, start, nchunks, num_points, tile,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.SMEM((2, N_FIELDS * 8, chunk), jnp.float32),
@@ -489,7 +530,7 @@ def _pallas_pass(soa, start, nchunks, num_points, tile, chunk,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         # int32-wrapped index-map constants: under jax_enable_x64 bare
         # Python ints lower to i64 scalars, which Mosaic rejects.
         out_specs=pl.BlockSpec(
@@ -592,7 +633,7 @@ def _pallas_pass_batched(soa, start, nchunks, num_points, tile, chunk,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_layers, num_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 1, 8, tile // 8),
             lambda b, t, *_: (b, t, jnp.int32(0), jnp.int32(0)),
@@ -713,7 +754,11 @@ def accumulate_tpu_batched(kernel_arrays, kin, num_points, n_per_v, cut_off,
     all_lorentz = (kernel_arrays["y"].astype(np.float32) >= 70.55).all(
         axis=0)
     ce = np.where(all_lorentz, cs - 1, ce)
-    inst_line, g_start, g_n = build_core_groups(cs, ce, num_points, tile)
+    # Sort key: per-line y minimized over layers, so the kernel's
+    # group-min-y branch class is as homogeneous as the layer spread allows.
+    inst_line, g_start, g_n = build_core_groups(
+        cs, ce, num_points, tile,
+        sort_key=np.asarray(kernel_arrays["y"]).min(axis=0))
     groups = np.stack([
         gather_group_params({k: v[b] for k, v in kernel_arrays.items()},
                             inst_line)
@@ -768,7 +813,8 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
     w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
     cs, ce = core_instance_windows(kernel_arrays, kin, num_points, n_per_v,
                                    cut_off)
-    inst_line, g_start, g_n = build_core_groups(cs, ce, num_points, tile)
+    inst_line, g_start, g_n = build_core_groups(
+        cs, ce, num_points, tile, sort_key=kernel_arrays["y"])
     groups = gather_group_params(kernel_arrays, inst_line)
     return DevicePlan(soa, w_start, w_n, groups, g_start, g_n, num_points,
                       tile, chunk, interpret)

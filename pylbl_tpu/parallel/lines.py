@@ -214,10 +214,19 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     shift_w = np.ceil(np.abs(pack.delta_air[:keep]) * p_max_atm
                       * n_per_v).astype(np.int64) + 1
     center0 = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
+    # Sort key for group y-class homogeneity: per-line y at a reference
+    # condition (275 K, 1 atm, air-broadened).  Layer conditions rescale
+    # all lines' y by near-common factors, so the *ranking* is stable; the
+    # kernel's group-min-y branch stays exact regardless (sorting only
+    # affects how often the cheap branches are taken).
+    y_ref = (c.SQRT_LN2 / np.maximum(
+        (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
+            c.R2 * 275.0 / np.maximum(pack.mass[:keep], 1.0)), 1e-300)
+        ) * pack.gamma_air[:keep] * (296.0 / 275.0) ** pack.n_air[:keep]
     inst_line, g_start, g_n = lp.build_core_groups(
         np.maximum(center0 - core_w - shift_w, s_wide),
         np.minimum(center0 + core_w + shift_w, e_wide),
-        num_points, tile)
+        num_points, tile, sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
     inst_line_dev = jnp.asarray(inst_line)
@@ -232,7 +241,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                     ka["s_idx"].astype(jnp.float32),
                     ka["e_idx"].astype(jnp.float32),
                     jnp.zeros_like(ka["c_frac"])]
-            fill = [0.0, 0.0, 1.0, 1.0, 0.0, -1.0, -2.0, 0.0]
+            fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
             padded = [jnp.pad(r, (0, pad), constant_values=v)
                       for r, v in zip(rows, fill)]
             soa = jnp.stack(padded, axis=0)       # [8, N_pad].

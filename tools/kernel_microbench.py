@@ -74,7 +74,8 @@ def main():
         np.maximum(center - core_w, s_idx),
         np.minimum(center + core_w, e_idx), n, tile, chunk)
     cs_w, ce_w = lp.core_instance_windows(arrays, kin, n, n_per_v, CUT_OFF)
-    inst_line, g_start, g_n = lp.build_core_groups(cs_w, ce_w, n, tile)
+    inst_line, g_start, g_n = lp.build_core_groups(
+        cs_w, ce_w, n, tile, sort_key=arrays["y"])
     groups = lp.gather_group_params(arrays, inst_line)
     soa_d, ws, wn, cs, cn = map(jax.device_put,
                                 (soa, w_start, w_n, c_start, c_n))
