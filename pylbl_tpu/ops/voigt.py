@@ -199,21 +199,35 @@ def voigt_full(x, y):
 
 
 def voigt_correction_k1(x, y):
-    """voigt_correction specialized to 8.425 <= y < 70.55.
+    """voigt_correction specialized to y >= 8.425.
 
     There xlim1 = 0 (region_limits' y >= 8.425 branch, voigt.c:38-40), so
     |x| >= xlim1 always holds and the nested selection collapses to
     region 1.  Identical in value to :func:`voigt_correction` on its
-    domain.
+    domain (up to f32 rearrangement rounding).
+
+    Evaluated in combined form with a single division and no sqrt:
+    with a0 = y^2+0.5, d0 = a0^2, d2 = 2y^2-1,
+
+        K1 - K0 = (y/sqrt(pi)) * (1.5 x^2 - 0.5 y^2 - 0.25)
+                  / ((d0 + x^2 (d2 + x^2)) * (x^2 + y^2))
+
+    (the region-1 and Lorentzian rationals share the numerator identity
+    (a0+xq)(xq+yq) - (d0 + xq(d2+xq)) = 1.5 xq - 0.5 yq - 0.25), and the
+    |x| < xlim0 test is done on squares.  The denominator is strictly
+    positive (d0 >= 0.25), so no safe-division select is needed.
     """
     xp = _xp(x, y)
-    xlim0 = xp.sqrt(xp.maximum(15100.0 + y * (40.0 - y * 3.6), 0.0))
-    abx = xp.abs(x)
-    xq = abx * abx
-    k0 = voigt_lorentz(x, y)
-    k1 = _w4_region1(xq, y, y * y, xp)
-    needs_corr = abx < xlim0
-    return xp.where(needs_corr, k1 - k0, xp.zeros_like(x))
+    xq = x * x
+    yq = y * y
+    xlim0q = xp.maximum(15100.0 + y * (40.0 - y * 3.6), 0.0)
+    a0 = yq + 0.5
+    d0 = a0 * a0
+    d2 = yq + yq - 1.0
+    num = (y * RSQRPI) * (1.5 * xq - (0.5 * yq + 0.25))
+    den = (d0 + xq * (d2 + xq)) * (xq + yq)
+    needs_corr = (xq < xlim0q) & (y < 70.55)
+    return xp.where(needs_corr, num / den, xp.zeros_like(x))
 
 
 def voigt_correction_k12(x, y):

@@ -93,7 +93,15 @@ def test_correction_class_specializations_match_general():
         y = np.full(1, y_val)
         np.testing.assert_array_equal(voigt_correction_k123(x, y),
                                       voigt_correction(x, y))
-    for y_val in [8.425, 9.0, 20.0, 40.0, 70.54]:
+    # k1 uses the analytically combined single-division form of K1 - K0
+    # (an algebraic rearrangement: ~1e-10 f64 rounding difference, and in
+    # f32 it *removes* the K1 - K0 cancellation, making it strictly more
+    # accurate than the subtractive general form).
+    for y_val in [8.425, 9.0, 20.0, 40.0, 70.54, 70.55, 200.0]:
         y = np.full(1, y_val)
-        np.testing.assert_array_equal(voigt_correction_k1(x, y),
-                                      voigt_correction(x, y))
+        a = voigt_correction_k1(x, y)
+        b = voigt_correction(x, y)
+        # atol covers the correction's zero crossing, where both forms
+        # cancel and the relative measure is meaningless.
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-15)
+        np.testing.assert_array_equal(a == 0.0, b == 0.0)
