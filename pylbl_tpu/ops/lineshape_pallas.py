@@ -168,6 +168,8 @@ ROW = 128                 # points per sublane row (f32 lane count).
 ROWS_CHUNK = 128          # groups per DMA chunk (lane-alignment unit).
 N_FIELDS = 7              # c_int, c_frac, srw, y, pref, s, e.
 Y_FIELD = 3               # index of y in the group-params field order.
+GROUP_ROWS = 64           # 7 fields x 8 slots + ymin row + 7 pad rows.
+YMIN_ROW = 56             # row holding the group's precomputed min y.
 
 
 def build_core_groups(core_start, core_end, num_points, tile=DEFAULT_TILE,
@@ -232,13 +234,16 @@ def build_core_groups(core_start, core_end, num_points, tile=DEFAULT_TILE,
 
 
 def gather_group_params(kernel_arrays, inst_line, xp=np):
-    """Builds the ([B,] 56, G) f32 group-parameter block.
+    """Builds the ([B,] 64, G) f32 group-parameter block.
 
     Field r-slot layout: row f*8+r holds field f of the instance assigned
-    to sublane r.  Dead slots (-1) get (0, 0, 1, 100, 0, -1, -2) so the
-    in-kernel window mask rejects every point and the dead y sits above
-    the pure-Lorentz threshold (a dead slot never drags a group's min-y
-    below a cheap-correction class).  Works with numpy (host plan) or jnp
+    to sublane r (f < 7); row 56 holds the group's min y (precomputed so
+    the kernel's class branch costs one SMEM read instead of 8 reads + 7
+    mins); rows 57-63 pad to a multiple-of-8 sublane count.  Dead slots
+    (-1) get (0, 0, 1, 100, 0, -1, -2) so the in-kernel window mask
+    rejects every point and the dead y sits above the pure-Lorentz
+    threshold (a dead slot never drags a group's min-y below a
+    cheap-correction class).  Works with numpy (host plan) or jnp
     (device, layer-batched).
     """
     idx = xp.maximum(inst_line, 0)
@@ -251,7 +256,11 @@ def gather_group_params(kernel_arrays, inst_line, xp=np):
         v = kernel_arrays[name]
         taken = v[..., idx].astype(xp.float32)
         blocks.append(xp.where(dead, xp.float32(fill), taken))
-    return xp.concatenate(blocks, axis=-2)
+    ymin = xp.min(blocks[Y_FIELD], axis=-2, keepdims=True)
+    pad = xp.zeros_like(
+        xp.broadcast_to(ymin, ymin.shape[:-2] + (GROUP_ROWS - YMIN_ROW - 1,)
+                        + ymin.shape[-1:]))
+    return xp.concatenate(blocks + [ymin, pad], axis=-2)
 
 
 def _rows_body(point, row_eq, buf, slot, g, acc):
@@ -272,8 +281,7 @@ def _rows_body(point, row_eq, buf, slot, g, acc):
             v = jnp.where(row_eq[r], buf[slot, f * 8 + r, g], v)
         return v
 
-    ys = [buf[slot, Y_FIELD * 8 + r, g] for r in range(8)]
-    ymin = functools.reduce(jnp.minimum, ys)
+    ymin = buf[slot, YMIN_ROW, g]
 
     def corrected():
         c_int, c_frac, srw, y, pref, s, e = (
@@ -294,6 +302,145 @@ def _rows_body(point, row_eq, buf, slot, g, acc):
 
     # All-dead / all-pure-Lorentz groups contribute exactly zero.
     return jax.lax.cond(ymin >= 70.55, lambda: acc, corrected)
+
+
+def group_min_y(groups, xp=np):
+    """Per-group minimum y (row YMIN_ROW of the group block), ([B,] 1, G)."""
+    return groups[..., YMIN_ROW:YMIN_ROW + 1, :]
+
+
+def _splat_correction(point, fields, ymin, pref_row, s_row, e_row, acc):
+    """Class-branched correction on pre-splatted (8, lanes) field blocks."""
+    c_int, c_frac, srw, y = fields
+
+    def corrected():
+        x = ((point - c_int) - c_frac) * srw
+        val = jax.lax.cond(
+            ymin >= 8.425,
+            lambda: voigt_correction_k1(x, y),
+            lambda: jax.lax.cond(
+                ymin >= 6.8,
+                lambda: voigt_correction_k12(x, y),
+                lambda: jax.lax.cond(
+                    ymin >= 2.0,
+                    lambda: voigt_correction_k123(x, y),
+                    lambda: voigt_correction(x, y))))
+        mask = (point >= s_row) & (point <= e_row)
+        return acc + jnp.where(mask, pref_row * val, 0.0)
+
+    return jax.lax.cond(ymin >= 70.55, lambda: acc, corrected)
+
+
+def _rows_body_vmem(point, block, ybuf, slot, g, acc):
+    """One group via a dynamic lane rotate + lane-0 broadcast.
+
+    ``block`` is the whole (64, chunk) group-parameter chunk held in
+    vector registers; the group's column is rotated to lane 0
+    (tpu dynamic_rotate) and broadcast across lanes, so each field's
+    splat is a static sublane slice — replacing the 56 scalar-select
+    splat of :func:`_rows_body` with ~16 relayout ops.
+    """
+    ymin = ybuf[slot, 0, g]
+    chunk = block.shape[-1]
+    rolled = pltpu.roll(block, (jnp.int32(chunk) - g) & jnp.int32(chunk - 1),
+                        axis=1)
+    b = jnp.broadcast_to(rolled[:, 0:1], (GROUP_ROWS, point.shape[-1]))
+    f = [b[i * 8:(i + 1) * 8, :] for i in range(N_FIELDS)]
+    return _splat_correction(point, (f[0], f[1], f[2], f[3]), ymin,
+                             f[4], f[5], f[6], acc)
+
+
+def _rows_kernel_vmem(chunk, tile, start_ref, nchunks_ref, groups_ref,
+                      ymin_ref, out_ref, gbuf, ybuf, gsems, ysems):
+    t = pl.program_id(0)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * tile + row * lanes + col).astype(jnp.float32)
+
+    def chunk_dmas(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return (pltpu.make_async_copy(
+                    groups_ref.at[:, pl.ds(offset, chunk)],
+                    gbuf.at[slot], gsems.at[slot]),
+                pltpu.make_async_copy(
+                    ymin_ref.at[:, pl.ds(offset, chunk)],
+                    ybuf.at[slot], ysems.at[slot]))
+
+    @pl.when(nchunks > 0)
+    def _():
+        for dma in chunk_dmas(0, 0):
+            dma.start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            for dma in chunk_dmas(1 - slot, k + 1):
+                dma.start()
+
+        for dma in chunk_dmas(slot, k):
+            dma.wait()
+
+        block = gbuf[slot]          # (64, chunk) in vector registers.
+
+        def group_body(j, acc):
+            g = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            acc = _rows_body_vmem(point, block, ybuf, slot, g, acc)
+            acc = _rows_body_vmem(point, block, ybuf, slot, g + one_i32,
+                                  acc)
+            acc = _rows_body_vmem(point, block, ybuf, slot,
+                                  g + 2 * one_i32, acc)
+            return _rows_body_vmem(point, block, ybuf, slot,
+                                   g + 3 * one_i32, acc)
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 group_body, acc)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None]
+
+
+def _pallas_rows_pass_vmem(groups, ymin, start, nchunks, num_points, tile,
+                           chunk=ROWS_CHUNK, interpret=False):
+    """Single-layer rows core pass with the VMEM-broadcast splat."""
+    num_tiles = -(-num_points // tile)
+    padded_points = num_tiles * tile
+    kernel = functools.partial(_rows_kernel_vmem, chunk, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, tile // 8),
+            lambda t, *_: (t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP_ROWS, chunk), jnp.float32),
+            pltpu.SMEM((2, 1, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, tile // 8),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(start, nchunks, groups, ymin)
+    return out.reshape(padded_points)[:num_points]
 
 
 def _rows_kernel(chunk, tile, start_ref, nchunks_ref, groups_ref, out_ref,
@@ -431,7 +578,7 @@ def _pallas_rows_pass(groups, start, nchunks, num_points, tile,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.SMEM((2, N_FIELDS * 8, chunk), jnp.float32),
+            pltpu.SMEM((2, GROUP_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -115,7 +115,7 @@ def test_gather_group_params_dead_slots():
                      [-1, -1], [1, 0], [0, -1], [1, 1]], np.int64).T
     inst = np.ascontiguousarray(inst.reshape(8, 2))
     groups = gather_group_params(arrays, inst)
-    assert groups.shape == (56, 2)
+    assert groups.shape == (64, 2)
     dead = inst < 0
     # Dead slots: window [-1, -2] so every point masks off.
     s_rows = groups[5 * 8:6 * 8]

@@ -105,6 +105,20 @@ def main():
                                    (jnp.float32(0), groups_d))
         return acc
 
+    ymin = lp.group_min_y(groups)
+    ymin_d = jax.device_put(ymin)
+
+    @jax.jit
+    def rows_core_vmem(reps):
+        def body(i, carry):
+            acc, g = carry
+            g = jnp.where(acc >= -1.0, g, 0.0)
+            out = lp._pallas_rows_pass_vmem(g, ymin_d, gs, gn, int(n), tile)
+            return (acc + out[0], g)
+        acc, _ = jax.lax.fori_loop(0, reps, body,
+                                   (jnp.float32(0), groups_d))
+        return acc
+
     @jax.jit
     def two_pass(reps):
         def body(i, carry):
@@ -124,6 +138,7 @@ def main():
             ("wings", make("wings", ws, wn), int(w_n.sum()) * chunk),
             ("core-scalar", make("core", cs, cn), int(c_n.sum()) * chunk),
             ("core-rows", rows_core, slots),
+            ("core-rows-vmem", rows_core_vmem, slots),
             ("two-pass", two_pass, None)]:
         dt = chained_time(fn, reps)
         line = f"{name:12s} {dt * 1e3:8.2f} ms/spectrum"
