@@ -11,24 +11,9 @@ from .models.lines import Gas, LinePack  # noqa: F401
 from .models.tips import TotalPartitionFunction  # noqa: F401
 from .utils.xrlite import DataArray, Dataset, open_dataset  # noqa: F401
 
-__version__ = "0.1.0"
+from .database import Database  # noqa: F401
+from .spectroscopy import Spectroscopy  # noqa: F401
+from .webapi import HitranWebApi, TipsWebApi  # noqa: F401
+from .plugins import continua, cross_sections, models, molecular_lines  # noqa: F401
 
-# Optional subsystems are imported lazily/tolerantly during bootstrap; the
-# full registry surface (Database, Spectroscopy, web APIs, plugin dicts) is
-# re-exported once those modules land.
-try:  # pragma: no cover - exercised once modules exist.
-    from .database import Database  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:  # pragma: no cover
-    from .spectroscopy import Spectroscopy  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:  # pragma: no cover
-    from .webapi import HitranWebApi, TipsWebApi  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:  # pragma: no cover
-    from .plugins import continua, cross_sections, models, molecular_lines  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+__version__ = "0.2.0"

@@ -23,7 +23,17 @@ def _parse_grid(spec):
     return np.arange(lo, hi, res)
 
 
+def _apply_platform(args):
+    """Applies --platform after the jax import: env vars alone are not
+    reliable here (site customizations may re-force a platform), so the
+    config update must run post-import."""
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+
 def cmd_info(args):
+    _apply_platform(args)
     import jax
     from . import __version__, plugins
     from .runtime import native
@@ -37,6 +47,7 @@ def cmd_info(args):
 
 
 def cmd_compute(args):
+    _apply_platform(args)
     from .database.db import Database
     from .spectroscopy import Spectroscopy
     from .utils.observability import configure_logging, metrics
@@ -82,6 +93,8 @@ def cmd_bench(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="pylbl_tpu")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu, tpu)")
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("info", help="environment and backend summary")

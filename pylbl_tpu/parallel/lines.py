@@ -233,7 +233,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     pad = -keep % chunk
 
     @jax.jit
-    def fn(temperature, pressure, vmr):
+    def fn_jit(temperature, pressure, vmr):
         def one_layer(t, p, x):
             ka = line_kernel_arrays(arrays_dev, static, t, p, x)
             rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
@@ -258,6 +258,24 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
             groups, g_start, g_n, num_points, tile, chunk, lp.ROWS_CHUNK)
+
+    def fn(temperature, pressure, vmr):
+        # The core-instance windows were sized for (t_max, p_max_atm);
+        # outside that envelope core-correction coverage silently degrades
+        # at window edges, so refuse rather than lose accuracy.
+        t_check = np.asarray(temperature)
+        p_check = np.asarray(pressure) * c.PA_TO_ATM
+        if t_check.size and float(t_check.max()) > t_max:
+            raise ValueError(
+                f"temperature {float(t_check.max()):.1f} K exceeds the "
+                f"kernel envelope t_max={t_max} K; rebuild with a larger "
+                "t_max")
+        if p_check.size and float(p_check.max()) > p_max_atm:
+            raise ValueError(
+                f"pressure {float(p_check.max()):.2f} atm exceeds the "
+                f"kernel envelope p_max_atm={p_max_atm}; rebuild with a "
+                "larger p_max_atm")
+        return fn_jit(temperature, pressure, vmr)
 
     return fn
 

@@ -7,6 +7,7 @@ cross-section files.  The CSV parsing is factored into
 :func:`parse_transitions` so it can be tested offline.
 """
 from json import loads
+from types import SimpleNamespace
 from urllib.error import HTTPError
 from urllib.request import build_opener, install_opener, ProxyHandler, urlopen
 
@@ -23,27 +24,29 @@ class NoTransitionsError(BaseException):
     pass
 
 
-class Query:
-    """URL query-string helper (reference hitran_api.py:222-243)."""
-
-    def __init__(self, **argv):
-        self.string = "&".join(
-            f"{key}={self.process(value)}" for key, value in argv.items())
-
-    @staticmethod
-    def process(value):
-        if type(value) in [bool, float, int, str]:
-            return str(value)
-        if type(value) in [list, set, tuple]:
-            return ",".join(str(v) for v in value)
-        raise TypeError(f"bad type for query: '{value}'")
+# API records are plain attribute bags; the stdlib namespace covers the
+# reference's record type (reference hitran_api.py:246-248).
+Struct = SimpleNamespace
 
 
-class Struct:
-    """Attribute bag for API records (reference hitran_api.py:246-248)."""
+def _scalar(value):
+    if isinstance(value, (bool, float, int, str)):
+        return str(value)
+    raise TypeError(f"bad type for query: '{value}'")
 
-    def __init__(self, **attrs):
-        self.__dict__.update(attrs)
+
+def query_string(**params):
+    """Serializes kwargs to the HITRAN REST query-string dialect: scalars
+    verbatim, sequences comma-joined (no percent-encoding — the server
+    expects raw commas)."""
+    parts = []
+    for key, value in params.items():
+        if isinstance(value, (list, set, tuple)):
+            encoded = ",".join(_scalar(v) for v in value)
+        else:
+            encoded = _scalar(value)
+        parts.append(f"{key}={encoded}")
+    return "&".join(parts)
 
 
 def parse_transitions(data, parameters, types):
@@ -74,17 +77,38 @@ class HitranWebApi:
 
     def __init__(self, api_key, api_version="v2", host="https://hitran.org",
                  proxy=None):
+        """Constructs the client without touching the network; server info
+        and parameter metadata are fetched lazily on first use so the
+        client is unit-testable offline."""
         self.api_key = api_key
         self.api_version = api_version
         self.host = host
         self.proxy = proxy
-        server_info = self._download_section("info")
-        self.transition_directory = \
-            server_info["content"]["data"]["results_dir"]
-        self.cross_section_directory = \
-            server_info["content"]["data"]["xsec_dir"]
-        self.timestamp = server_info["timestamp"]
-        self.parameters = self._download_parameters_metadata()
+        self._server_info = None
+        self._parameters = None
+
+    def _info(self):
+        if self._server_info is None:
+            self._server_info = self._download_section("info")
+        return self._server_info
+
+    @property
+    def transition_directory(self):
+        return self._info()["content"]["data"]["results_dir"]
+
+    @property
+    def cross_section_directory(self):
+        return self._info()["content"]["data"]["xsec_dir"]
+
+    @property
+    def timestamp(self):
+        return self._info()["timestamp"]
+
+    @property
+    def parameters(self):
+        if self._parameters is None:
+            self._parameters = self._download_parameters_metadata()
+        return self._parameters
 
     def _download(self, url, chunk):
         if self.proxy:
@@ -105,16 +129,17 @@ class HitranWebApi:
         url = "/".join([self.host, "api", self.api_version, self.api_key,
                         api_section])
         if query is not None:
-            url = "?".join([url, query.string])
+            url = "?".join([url, query])
         return loads(self._download(url, chunk))
 
     def _download_parameters_metadata(self, pattern=None):
-        query = None if pattern is None else Query(name__icontains=pattern)
+        query = None if pattern is None else query_string(
+            name__icontains=pattern)
         return [Struct(**x) for x in self._download_section(
             "parameter-metas", query)["content"]["data"]]
 
     def download_data_sources(self, ids=None):
-        query = None if ids is None else Query(id__in=ids)
+        query = None if ids is None else query_string(id__in=ids)
         return self._download_section("sources", query)["content"]["data"]
 
     def download_molecules(self):
@@ -126,7 +151,8 @@ class HitranWebApi:
             molecules = [molecules]
         ids = [x.id for x in molecules]
         return [Struct(**x) for x in self._download_section(
-            "isotopologues", Query(molecule_id__in=ids))["content"]["data"]]
+            "isotopologues",
+            query_string(molecule_id__in=ids))["content"]["data"]]
 
     def download_transitions_csv(self, isotopologues, numin, numax,
                                  parameters=None):
@@ -144,9 +170,9 @@ class HitranWebApi:
             raise NoIsotopologueError("no isotopologues present.")
         if parameters is None:
             parameters = [x.name for x in self.parameters][:22]
-        query = Query(iso_ids_list=ids, numin=numin, numax=numax,
-                      head=False, fixwidth=0,
-                      request_params=",".join(parameters))
+        query = query_string(iso_ids_list=ids, numin=numin, numax=numax,
+                             head=False, fixwidth=0,
+                             request_params=",".join(parameters))
         try:
             name = self._download_section("transitions",
                                           query)["content"]["data"]
@@ -170,7 +196,8 @@ class HitranWebApi:
             molecules = [molecules]
         ids = [x.id for x in molecules]
         bands = self._download_section(
-            "cross-sections", Query(molecule_id__in=ids))["content"]["data"]
+            "cross-sections",
+            query_string(molecule_id__in=ids))["content"]["data"]
         cross_sections = []
         for band in bands:
             data = self._download_file(self.cross_section_directory,

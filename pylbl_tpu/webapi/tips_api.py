@@ -72,28 +72,42 @@ class TipsWebApi:
         data = np.transpose(np.asarray(q, dtype=np.float32))
         return temperature, data
 
+    # Table grammar: comment lines start with "c"; a bare formula on its
+    # own line heads each molecule block; a "T / K  Q  Q ..." header gives
+    # the isotopologue count; numeric rows follow until the next heading.
+    _HEADING = r"\s*[A-Za-z0-9+]+$"
+    _COLUMN_HEADER = r"\s*T / K"
+
     def _records(self, response, molecule):
-        """Yields per-temperature rows for one molecule's block
-        (reference tips_api.py:90-119).
+        """Yields per-temperature [T, Q1..Qn] rows for one molecule's block
+        (same grammar as reference tips_api.py:90-119; restructured as
+        explicit seek/header/body stages over one shared line iterator).
 
         Raises:
             NoMoleculeError: molecule heading not found.
         """
-        found_molecule = False
-        num_isotopologues = 0
-        for line in self._ascii_table_records(response):
-            if found_molecule:
-                if match(r"\s*[A-Za-z0-9+]+$", line):
-                    break
-                elif num_isotopologues > 0:
-                    yield [np.float32(x.strip())
-                           for x in line.split()[:(num_isotopologues + 1)]]
-                elif match(r"\s*T / K", line):
-                    num_isotopologues = sum(x == "Q" for x in line)
-            elif line.startswith("c"):
-                continue
-            else:
-                found_molecule = match(rf"\s*{molecule}$", line)
-        if not found_molecule:
+        lines = iter(self._ascii_table_records(response))
+
+        # Stage 1: seek the molecule's heading line.
+        heading = rf"\s*{molecule}$"
+        for line in lines:
+            if not line.startswith("c") and match(heading, line):
+                break
+        else:
             raise NoMoleculeError(
                 f"molecule {molecule} not found in TIPS 2017 tables.")
+
+        # Stage 2: the column header fixes how many Q columns to read.
+        num_columns = 0
+        for line in lines:
+            if match(self._HEADING, line):
+                return
+            if match(self._COLUMN_HEADER, line):
+                num_columns = 1 + line.count("Q")
+                break
+
+        # Stage 3: numeric rows until the next molecule heading.
+        for line in lines:
+            if match(self._HEADING, line):
+                return
+            yield [np.float32(cell) for cell in line.split()[:num_columns]]

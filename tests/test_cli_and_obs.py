@@ -67,7 +67,7 @@ def test_cli_compute_end_to_end(tmp_path):
     env.update({k: v for k, v in os.environ.items()
                 if k not in env and k != "JAX_PLATFORMS"})
     result = subprocess.run(
-        [sys.executable, "-m", "pylbl_tpu", "compute",
+        [sys.executable, "-m", "pylbl_tpu", "--platform", "cpu", "compute",
          "--atmosphere", str(atm_path), "--database", str(tmp_path / "cli.db"),
          "--grid", "1:500:0.5", "--output", str(out_path),
          "--format", "total", "--metrics"],
@@ -81,8 +81,11 @@ def test_cli_compute_end_to_end(tmp_path):
 
 
 def test_cli_info():
+    # --platform cpu: the child must not touch the TPU tunnel (env vars
+    # alone are re-forced by the axon sitecustomize, so the CLI applies
+    # the override post-import).
     result = subprocess.run(
-        [sys.executable, "-m", "pylbl_tpu", "info"],
+        [sys.executable, "-m", "pylbl_tpu", "--platform", "cpu", "info"],
         capture_output=True, text=True, timeout=240, cwd="/root/repo")
     assert result.returncode == 0, result.stderr[-2000:]
     assert "lines backends" in result.stdout

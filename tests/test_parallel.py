@@ -78,3 +78,19 @@ def test_sharded_step_batch_padding_invariance(workload):
         outs.append(out[:, :static["num_points"]])
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6,
                                atol=float(np.abs(outs[0]).max()) * 1e-7)
+
+
+def test_batched_fn_envelope_guard():
+    import pytest
+    from pylbl_tpu.database.fixtures import synthetic_line_pack
+    from pylbl_tpu.parallel.lines import make_batched_tpu_fn
+
+    pack = synthetic_line_pack(num_lines=64, nu_min=0.7, nu_max=60.0, seed=4)
+    fn = make_batched_tpu_fn(pack, np.arange(1.0, 50.0, 0.5),
+                             t_max=350.0, p_max_atm=5.0)
+    with pytest.raises(ValueError, match="t_max"):
+        fn(np.asarray([400.0], np.float32), np.asarray([1e5], np.float32),
+           np.asarray([1e-3], np.float32))
+    with pytest.raises(ValueError, match="p_max_atm"):
+        fn(np.asarray([288.0], np.float32), np.asarray([6e5], np.float32),
+           np.asarray([1e-3], np.float32))

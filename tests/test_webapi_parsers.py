@@ -69,3 +69,11 @@ def test_transition_csv_parser():
     assert len(out) == 2  # malformed row skipped with a warning.
     assert out[0].nu == 100.5
     assert out[1].local_iso_id == 2
+
+
+def test_hitran_client_constructs_offline():
+    from pylbl_tpu.webapi import HitranWebApi, query_string
+    api = HitranWebApi("dummy-key")
+    assert api.api_key == "dummy-key"
+    assert query_string(iso_ids_list=[1, 2], numin=0.0, head=False) == \
+        "iso_ids_list=1,2&numin=0.0&head=False"
