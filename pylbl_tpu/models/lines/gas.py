@@ -11,7 +11,8 @@ Pallas TPU fast path in ops/lineshape_pallas.py).
 import numpy as np
 
 from .physics import LinePack, kernel_inputs, line_profile_params
-from .pedestal import apply_pedestal, compute_pedestals
+from .pedestal import (apply_pedestal, apply_pedestal_batch,
+                       compute_pedestals, compute_pedestals_batch)
 from ...ops import lineshape
 from ...utils.constants import DEFAULT_CUT_OFF
 
@@ -194,16 +195,13 @@ class Gas:
                     self.pack, temperature, pressure, volume_mixing_ratio,
                     keep=keep)
                 kin = kernel_inputs(params, v0, n_per_v, cut_off)
+                kin["nu_raw"] = self.pack.nu[:keep]
+                kin["nu_shift"] = params["nu_shift"]
                 with metrics.timed("lines.pedestal"):
-                    for i in range(num_layers):
-                        kin_i = {key: value[i] for key, value in
-                                 kin.items()}
-                        kin_i["nu_raw"] = self.pack.nu[:keep]
-                        kin_i["nu_shift"] = params["nu_shift"][i]
-                        ped = compute_pedestals(k[i], kin_i, num_points,
-                                                n_per_v, cut_off)
-                        k[i] = apply_pedestal(k[i], ped, kin_i["s_idx"],
-                                              kin_i["e_idx"], num_points)
+                    ped = compute_pedestals_batch(k, kin, num_points,
+                                                  n_per_v, cut_off)
+                    k = apply_pedestal_batch(k, ped, kin["s_idx"],
+                                             kin["e_idx"], num_points)
         metrics.count("lines.processed", int(keep) * num_layers)
         metrics.count("lines.point_evals",
                       int(keep) * num_layers

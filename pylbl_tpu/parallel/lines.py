@@ -280,6 +280,228 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     return fn
 
 
+# Per-line block keys exchanged by the ring pass / sharded by nu-bucket.
+_LINE_KEYS = ("c_base_int", "c_base_frac", "nu", "sw", "gamma_air",
+              "gamma_self", "n_air", "delta_air", "elower", "mass", "q_row")
+# Benign pad values: sw=0 makes the physics prefactor exactly 0, so padded
+# entries scatter zeros; mass/nu > 0 keep the broadening math finite.
+_LINE_PAD = {"c_base_int": 0.0, "c_base_frac": 0.0, "nu": 1.0, "sw": 0.0,
+             "gamma_air": 1e-3, "gamma_self": 1e-3, "n_air": 0.0,
+             "delta_air": 0.0, "elower": 0.0, "mass": 1.0, "q_row": 0}
+
+
+def shard_line_pack(pack, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
+                    mode="halo"):
+    """Partitions a molecule's line list into per-shard nu-bucket blocks.
+
+    The spectral grid is split into ``spec`` contiguous slabs; lines are
+    assigned by position (SURVEY 2.8 "line-list sharding"; the reference
+    holds the full list in one process, absorption.c:67-87).  Window bounds
+    come from the *unshifted* positions widened by one wavenumber, so the
+    assignment is layer-independent (pressure shifts are sub-0.1 cm-1).
+
+    Args:
+        spec: number of spectral shards.
+        mode: "halo" — each shard's block contains every line whose widened
+              window intersects its slab (lines near boundaries are
+              duplicated into both neighbors; zero collectives at run
+              time);
+              "ring" — each line appears in exactly its owner's block
+              (minimal memory) and run time circulates blocks around the
+              spec axis with lax.ppermute so neighbors' boundary lines
+              reach every slab they touch.
+
+    Returns:
+        (blocks, q_table, static, info): blocks is a dict of [spec, L]
+        float32/int32 arrays (L = max block length, padded with inert
+        lines); info carries ring_steps/local_points/duplication stats.
+    """
+    from ..models.lines.gas import internal_grid
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    arrays, static = device_line_pack(pack, grid, cut_off=cut_off)
+    keep = static["num_lines"]
+    local_n = -(-num_points // spec)
+
+    b0 = np.floor(pack.nu[:keep]).astype(np.int64)
+    s_wide = (b0 - 1 - cut_off - v0) * n_per_v
+    e_wide = (b0 + 1 + cut_off + 1 - v0) * n_per_v
+    center = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
+
+    if keep == 0:
+        los = his = np.zeros(spec, np.int64)
+        ring_steps = 0
+    elif mode == "halo":
+        slab_lo = np.arange(spec, dtype=np.int64) * local_n
+        # s_wide/e_wide are monotone in the (sorted) line positions, so
+        # each shard's overlap set is one contiguous slice.
+        los = np.searchsorted(e_wide, slab_lo, side="left")
+        his = np.searchsorted(s_wide, slab_lo + local_n, side="left")
+        ring_steps = 0
+    elif mode == "ring":
+        owner = np.clip(center // local_n, 0, spec - 1)
+        shards = np.arange(spec, dtype=np.int64)
+        los = np.searchsorted(owner, shards, side="left")
+        his = np.searchsorted(owner, shards, side="right")
+        reach_l = owner - np.clip(s_wide // local_n, 0, spec - 1)
+        reach_r = np.clip(e_wide // local_n, 0, spec - 1) - owner
+        ring_steps = int(min(max(reach_l.max(initial=0),
+                                 reach_r.max(initial=0)), spec - 1))
+    else:
+        raise ValueError(f"unknown line-sharding mode '{mode}'")
+
+    lengths = his - los
+    block_len = int(lengths.max(initial=0))
+    blocks = {}
+    for key in _LINE_KEYS:
+        src = arrays[key]
+        out = np.full((spec, block_len), _LINE_PAD[key], dtype=src.dtype)
+        for s in range(spec):
+            out[s, :lengths[s]] = src[los[s]:his[s]]
+        blocks[key] = out
+    info = {"ring_steps": ring_steps, "block_len": block_len,
+            "local_points": local_n, "padded_points": local_n * spec,
+            "duplication": float(lengths.sum() / max(keep, 1)),
+            "mode": mode}
+    return blocks, arrays["q_table"], static, info
+
+
+def make_lines_sharded_step(static, info, mesh, weight_density=True,
+                            chunk=512):
+    """Builds the jitted line-sharded multi-device absorption step.
+
+    Unlike :func:`make_sharded_step` (lines replicated; every device does
+    O(N * window) work), each device touches only its own block — per-
+    device compute and line memory scale ~1/spec.  In "ring" mode the
+    blocks circulate over the spec axis with ``lax.ppermute`` while each
+    stop accumulates the masked contributions; XLA's latency-hiding
+    scheduler overlaps the permute DMA with the accumulation compute on
+    TPU (the double-buffered exchange of SURVEY 2.8).
+
+    Returns:
+        step(blocks, q_table, temperature[B], pressure[B], vmr[B])
+        -> [B, padded_points] float32, batch sharded over "batch",
+        spectra over "spec".  Cross sections [m2], or absorption [m-1]
+        when ``weight_density``.
+    """
+    spec = mesh.shape[SPEC_AXIS]
+    num_points = static["num_points"]
+    local_n = info["local_points"]
+    window = (2 * static["cut_off"] + 1) * static["n_per_v"] + 1
+    core_w = min(128, (static["cut_off"] + 1) * static["n_per_v"])
+    ring_steps = info["ring_steps"]
+    # Ring schedule: "up" step r delivers the block of shard d-r (left
+    # neighbors, windows reaching right into our slab), "down" the
+    # mirror.  Offsets +r and -(spec-r) coincide mod spec; capping the
+    # down chain at spec-1-R keeps every visited block distinct while the
+    # up chain's wrap-around covers the remainder.
+    up_steps = ring_steps
+    dn_steps = min(ring_steps, spec - 1 - ring_steps)
+    perm_up = [(i, (i + 1) % spec) for i in range(spec)]
+    perm_dn = [(i, (i - 1) % spec) for i in range(spec)]
+
+    def shard_fn(blocks, q_table, temperature, pressure, vmr):
+        origin = jax.lax.axis_index(SPEC_AXIS) * local_n
+        lines = {k: v[0] for k, v in blocks.items()}
+
+        def accumulate_block(lines_blk, k_acc):
+            full = dict(lines_blk)
+            full["q_table"] = q_table
+
+            def one_layer(t, p, x):
+                ka = _pad_to_chunk(
+                    line_kernel_arrays(full, static, t, p, x), chunk)
+                origin_v = origin + (t * 0).astype(jnp.int32)
+                return lineshape.accumulate_segment(
+                    ka, origin_v, local_n, num_points, window, core_w,
+                    chunk)
+
+            return k_acc + jax.vmap(one_layer)(temperature, pressure, vmr)
+
+        batch = temperature.shape[0]
+        k = accumulate_block(
+            lines, jnp.zeros((batch, local_n), jnp.float32)
+            + (origin * 0).astype(jnp.float32))
+        up = dn = lines
+        for _ in range(up_steps):
+            up = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, SPEC_AXIS, perm_up), up)
+            k = accumulate_block(up, k)
+        for _ in range(dn_steps):
+            dn = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, SPEC_AXIS, perm_dn), dn)
+            k = accumulate_block(dn, k)
+        if weight_density:
+            n_density = pressure * vmr / (c.KB * temperature)
+            k = k * n_density[:, None]
+        return k
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(SPEC_AXIS), P(), P(BATCH_AXIS), P(BATCH_AXIS),
+                  P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS, SPEC_AXIS))
+
+    @jax.jit
+    def step(blocks, q_table, temperature, pressure, vmr):
+        return fn(blocks, q_table, temperature, pressure, vmr)
+
+    return step
+
+
+def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,
+                          mode="halo", remove_pedestal=False,
+                          weight_density=True, chunk=512):
+    """End-to-end multi-device absorption with optional pedestal removal.
+
+    The device part (line physics + windowed Voigt summation) runs fully
+    sharded via :func:`make_lines_sharded_step`; pedestal removal — whose
+    sequential-accumulator semantics (reference spectra.c:66-78) need a
+    host scan — then runs layer-vectorized on the gathered field
+    (models/lines/pedestal.py).
+
+    Returns:
+        fn(temperature[B], pressure[B], vmr[B]) -> numpy float64
+        [B, num_points] cross sections [m2] (or absorption [m-1] when
+        ``weight_density``).
+    """
+    from ..models.lines.gas import internal_grid
+    from ..models.lines.pedestal import (apply_pedestal_batch,
+                                         compute_pedestals_batch)
+    from ..models.lines.physics import kernel_inputs, line_profile_params
+
+    spec = mesh.shape[SPEC_AXIS]
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, cut_off)
+    blocks, q_table, static, info = shard_line_pack(pack, grid, spec,
+                                                    cut_off, mode)
+    step = make_lines_sharded_step(static, info, mesh,
+                                   weight_density=False, chunk=chunk)
+    blocks_dev = {k: jnp.asarray(v) for k, v in blocks.items()}
+    q_dev = jnp.asarray(q_table)
+
+    def fn(temperature, pressure, vmr):
+        t64 = np.atleast_1d(np.asarray(temperature, np.float64))
+        p64 = np.atleast_1d(np.asarray(pressure, np.float64))
+        x64 = np.atleast_1d(np.asarray(vmr, np.float64))
+        out = step(blocks_dev, q_dev, t64.astype(np.float32),
+                   p64.astype(np.float32), x64.astype(np.float32))
+        k = np.asarray(out, np.float64)[:, :num_points]
+        if remove_pedestal and keep:
+            params = line_profile_params(pack, t64, p64, x64, keep=keep)
+            kin = kernel_inputs(params, v0, n_per_v, cut_off)
+            kin["nu_raw"] = pack.nu[:keep]
+            kin["nu_shift"] = params["nu_shift"]
+            ped = compute_pedestals_batch(k, kin, num_points, n_per_v,
+                                          cut_off)
+            k = apply_pedestal_batch(k, ped, kin["s_idx"], kin["e_idx"],
+                                     num_points)
+        if weight_density:
+            k *= (p64 * x64 / (c.KB * t64))[:, None]
+        return k
+
+    return fn
+
+
 def make_sharded_step(arrays, static, mesh, kin=None, chunk=512):
     """Builds the jitted multi-device absorption step.
 

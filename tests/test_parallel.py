@@ -94,3 +94,68 @@ def test_batched_fn_envelope_guard():
     with pytest.raises(ValueError, match="p_max_atm"):
         fn(np.asarray([288.0], np.float32), np.asarray([6e5], np.float32),
            np.asarray([1e-3], np.float32))
+
+
+@pytest.mark.parametrize("mode,batch,spec", [
+    ("halo", 2, 4), ("halo", 1, 8), ("ring", 2, 4), ("ring", 1, 8),
+    ("ring", 4, 2)])
+def test_lines_sharded_step_matches_host_engine(workload, mode, batch, spec):
+    from pylbl_tpu.parallel import (make_lines_sharded_step,
+                                    shard_line_pack)
+
+    pack, grid = workload
+    mesh = make_mesh(batch=batch, spec=spec)
+    blocks, q_table, static, info = shard_line_pack(pack, grid, spec,
+                                                    mode=mode)
+    assert info["mode"] == mode
+    if mode == "ring":
+        assert info["duplication"] == 1.0  # each line in exactly one block
+        assert info["ring_steps"] >= 1     # small slabs need exchange
+    step = make_lines_sharded_step(static, info, mesh)
+    temperature = np.asarray([288.99, 269.01, 227.74, 203.37])
+    pressure = np.asarray([98388.0, 117.0, 1032.0, 11419.0])
+    vmr = np.asarray([6.637074e-03, 5.244536e-06, 4.763972e-06,
+                      3.039952e-06])
+    out = np.asarray(step(blocks, q_table, temperature.astype(np.float32),
+                          pressure.astype(np.float32),
+                          vmr.astype(np.float32)))
+    assert out.shape == (4, info["padded_points"])
+    out = out[:, :static["num_points"]]
+
+    gas = Gas(pack, pack.formula, dtype=np.float64, backend="xla")
+    for i in range(4):
+        k = gas.absorption_coefficient(temperature[i], pressure[i], vmr[i],
+                                       grid)
+        expected = number_density(temperature[i], pressure[i], vmr[i]) * k
+        scale = max(expected.max(), 1e-300)
+        rel = np.abs(out[i] - expected) / np.maximum(np.abs(expected),
+                                                     scale * 1e-6)
+        assert rel.max() < 5e-4
+
+
+def test_sharded_pipeline_pedestal_matches_oracle(workload):
+    """Pedestal-on sharded pipeline vs the compiled reference C oracle."""
+    import oracle
+    from pylbl_tpu.parallel import make_sharded_pipeline
+
+    if not oracle.available():
+        pytest.skip("oracle unavailable")
+    pack, grid = workload
+    mesh = make_mesh(batch=2, spec=4)
+    fn = make_sharded_pipeline(pack, grid, mesh, remove_pedestal=True,
+                               weight_density=False)
+    temperature = np.asarray([288.99, 227.74])
+    pressure = np.asarray([98388.0, 1032.0])
+    vmr = np.asarray([6.637074e-03, 4.763972e-06])
+    out = fn(temperature, pressure, vmr)
+
+    from pylbl_tpu.models.lines import internal_grid
+    v0, vn, n_per_v, _ = internal_grid(grid)
+    for i in range(2):
+        expected = oracle.absorption(pack, temperature[i], pressure[i],
+                                     vmr[i], v0, vn, n_per_v,
+                                     remove_pedestal=True)
+        scale = max(expected.max(), 1e-300)
+        rel = np.abs(out[i] - expected) / np.maximum(np.abs(expected),
+                                                     scale * 1e-6)
+        assert rel.max() < 5e-4
