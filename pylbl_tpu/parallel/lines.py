@@ -309,7 +309,14 @@ def shard_line_pack(pack, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
               "ring" — each line appears in exactly its owner's block
               (minimal memory) and run time circulates blocks around the
               spec axis with lax.ppermute so neighbors' boundary lines
-              reach every slab they touch.
+              reach every slab they touch;
+              "balanced" — equal line COUNTS per shard regardless of
+              position (spectra are band-clustered, so position-based
+              slabs can be 3x+ imbalanced); every device accumulates the
+              full grid for its lines and one psum_scatter over "spec"
+              lands each device its slab.  Perfectly load-balanced
+              compute at the cost of ~num_points/spec of reduce-scatter
+              traffic per device (rides ICI).
 
     Returns:
         (blocks, q_table, static, info): blocks is a dict of [spec, L]
@@ -346,6 +353,10 @@ def shard_line_pack(pack, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
         reach_r = np.clip(e_wide // local_n, 0, spec - 1) - owner
         ring_steps = int(min(max(reach_l.max(initial=0),
                                  reach_r.max(initial=0)), spec - 1))
+    elif mode == "balanced":
+        bounds = np.linspace(0, keep, spec + 1).round().astype(np.int64)
+        los, his = bounds[:-1], bounds[1:]
+        ring_steps = 0
     else:
         raise ValueError(f"unknown line-sharding mode '{mode}'")
 
@@ -399,9 +410,13 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
     perm_up = [(i, (i + 1) % spec) for i in range(spec)]
     perm_dn = [(i, (i - 1) % spec) for i in range(spec)]
 
+    balanced = info.get("mode") == "balanced"
+    padded_n = local_n * spec
+
     def shard_fn(blocks, q_table, temperature, pressure, vmr):
         origin = jax.lax.axis_index(SPEC_AXIS) * local_n
         lines = {k: v[0] for k, v in blocks.items()}
+        seg_n = padded_n if balanced else local_n
 
         def accumulate_block(lines_blk, k_acc):
             full = dict(lines_blk)
@@ -410,16 +425,20 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
             def one_layer(t, p, x):
                 ka = _pad_to_chunk(
                     line_kernel_arrays(full, static, t, p, x), chunk)
-                origin_v = origin + (t * 0).astype(jnp.int32)
+                # In balanced mode every device accumulates from grid
+                # origin 0; the origin*0 keeps the spec-axis tag so the
+                # scan carry's varying manual axes match its body.
+                origin_v = (origin * 0 if balanced else origin) \
+                    + (t * 0).astype(jnp.int32)
                 return lineshape.accumulate_segment(
-                    ka, origin_v, local_n, num_points, window, core_w,
+                    ka, origin_v, seg_n, num_points, window, core_w,
                     chunk)
 
             return k_acc + jax.vmap(one_layer)(temperature, pressure, vmr)
 
         batch = temperature.shape[0]
         k = accumulate_block(
-            lines, jnp.zeros((batch, local_n), jnp.float32)
+            lines, jnp.zeros((batch, seg_n), jnp.float32)
             + (origin * 0).astype(jnp.float32))
         up = dn = lines
         for _ in range(up_steps):
@@ -430,6 +449,11 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
             dn = jax.tree.map(
                 lambda a: jax.lax.ppermute(a, SPEC_AXIS, perm_dn), dn)
             k = accumulate_block(dn, k)
+        if balanced:
+            # Each device holds the full grid for ITS lines; one
+            # reduce-scatter sums across devices and lands each its slab.
+            k = jax.lax.psum_scatter(k, SPEC_AXIS, scatter_dimension=1,
+                                     tiled=True)
         if weight_density:
             n_density = pressure * vmr / (c.KB * temperature)
             k = k * n_density[:, None]
@@ -449,7 +473,7 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
 
 
 def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,
-                          mode="halo", remove_pedestal=False,
+                          mode="balanced", remove_pedestal=False,
                           weight_density=True, chunk=512):
     """End-to-end multi-device absorption with optional pedestal removal.
 

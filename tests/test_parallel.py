@@ -98,7 +98,7 @@ def test_batched_fn_envelope_guard():
 
 @pytest.mark.parametrize("mode,batch,spec", [
     ("halo", 2, 4), ("halo", 1, 8), ("ring", 2, 4), ("ring", 1, 8),
-    ("ring", 4, 2)])
+    ("ring", 4, 2), ("balanced", 2, 4), ("balanced", 1, 8)])
 def test_lines_sharded_step_matches_host_engine(workload, mode, batch, spec):
     from pylbl_tpu.parallel import (make_lines_sharded_step,
                                     shard_line_pack)
@@ -111,6 +111,10 @@ def test_lines_sharded_step_matches_host_engine(workload, mode, batch, spec):
     if mode == "ring":
         assert info["duplication"] == 1.0  # each line in exactly one block
         assert info["ring_steps"] >= 1     # small slabs need exchange
+    if mode == "balanced":
+        assert info["duplication"] == 1.0
+        ideal = -(-static["num_lines"] // spec)
+        assert info["block_len"] <= ideal + 1  # equal-count partition
     step = make_lines_sharded_step(static, info, mesh)
     temperature = np.asarray([288.99, 269.01, 227.74, 203.37])
     pressure = np.asarray([98388.0, 117.0, 1032.0, 11419.0])
@@ -159,3 +163,24 @@ def test_sharded_pipeline_pedestal_matches_oracle(workload):
         rel = np.abs(out[i] - expected) / np.maximum(np.abs(expected),
                                                      scale * 1e-6)
         assert rel.max() < 5e-4
+
+
+def test_distributed_single_process_paths():
+    from pylbl_tpu.parallel import distributed as dist
+
+    assert dist.initialize() is False  # no cluster env -> no-op
+    mesh = dist.global_mesh(spec=4)
+    assert mesh.shape == {"batch": 2, "spec": 4}
+    assert dist.process_local_rows(10) == slice(0, 10)
+    rows = np.arange(12, dtype=np.float32).reshape(6, 2)
+    arr = dist.host_local_batch_array(rows, dist.global_mesh(spec=4))
+    np.testing.assert_array_equal(np.asarray(arr), rows)
+
+
+def test_distributed_mesh_host_major_spec():
+    """spec defaults to the per-process device count so ring traffic
+    stays on one host's ICI."""
+    from pylbl_tpu.parallel import distributed as dist
+
+    mesh = dist.global_mesh()
+    assert mesh.shape["spec"] == len(jax.devices()) // jax.process_count()
