@@ -92,11 +92,23 @@ def line_kernel_arrays(arrays, static, temperature, pressure,
     """Jittable physics: scalar T/p/vmr -> kernel arrays for one layer.
 
     Mirrors reference spectra.c:17-45 and physics.kernel_inputs.
+
+    ``volume_mixing_ratio`` may be a scalar (one gas) or a [G] vector for
+    a gas-stacked pack (see :func:`stack_device_packs`): each line then
+    broadens against its own gas's partial pressure, and the window/center
+    indices are placed in the flat [G * num_points] output grid with the
+    per-line ``flat_off`` offset, pre-clamped to the line's own gas
+    segment (the reference clamps windows to the grid edges,
+    spectra.c:48-62 — here each gas's segment IS its grid).
     """
     n_per_v = static["n_per_v"]
     cut_off = static["cut_off"]
     v0 = static["v0"]
 
+    stacked = "flat_off" in arrays
+    if stacked:
+        volume_mixing_ratio = jnp.asarray(
+            volume_mixing_ratio)[arrays["gas_idx"]]
     p_atm = pressure * c.PA_TO_ATM
     partial = p_atm * volume_mixing_ratio
     tfact = 296.0 / temperature
@@ -124,8 +136,17 @@ def line_kernel_arrays(arrays, static, temperature, pressure,
     bucket = jnp.floor(center / n_per_v + v0)
     s_idx = ((bucket - cut_off - v0) * n_per_v).astype(jnp.int32)
     e_idx = ((bucket + cut_off + 1 - v0) * n_per_v).astype(jnp.int32)
+    c_int = arrays["c_base_int"]
+    if stacked:
+        # Clamp to the gas segment FIRST (so no window spills into a
+        # neighboring gas's span), then shift into the flat grid.
+        n = static["num_points"]
+        off = arrays["flat_off"]
+        s_idx = off + jnp.clip(s_idx, 0, n - 1)
+        e_idx = off + jnp.clip(e_idx, 0, n - 1)
+        c_int = c_int + off.astype(c_int.dtype)
     return {
-        "c_int": arrays["c_base_int"].astype(jnp.int32),
+        "c_int": c_int.astype(jnp.int32),
         "c_frac": arrays["c_base_frac"] + dc,
         "scaled_repwid": repwid / n_per_v,
         "y": repwid * gamma,
@@ -153,6 +174,224 @@ def _pad_to_chunk(kernel_arrays, chunk):
         "s_idx": padded("s_idx", -1),
         "e_idx": padded("e_idx", -2),
     }
+
+
+def stack_device_packs(packs, grid, cut_off=c.DEFAULT_CUT_OFF):
+    """Concatenates several molecules' line lists into one flat launch.
+
+    Replaces the reference's serial per-gas dispatch
+    (reference spectroscopy.py:166-205) with a single stacked kernel: the
+    output grid is the per-gas internal grid tiled G times (flat index =
+    gas_idx * num_points + local point) and every line carries its gas
+    index, so one launch computes every gas's spectrum for every layer.
+
+    Args:
+        packs: dict name -> LinePack (insertion order fixes gas order).
+        grid: shared user grid.
+
+    Returns:
+        (arrays, host, static, names): ``arrays`` as
+        :func:`device_line_pack` plus per-line int32 ``gas_idx`` and
+        ``flat_off`` and a row-stacked ``q_table``; ``host`` holds
+        concatenated float64 per-line params for host-side window sizing;
+        ``static["flat_points"]`` = G * num_points.
+    """
+    from ..models.lines.gas import internal_grid
+    names = list(packs)
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    if len(names) * num_points >= 2 ** 24:
+        raise ValueError(
+            "flat stacked grid exceeds the float32 exact-integer range; "
+            "split the gases into groups")
+    keeps = {n: packs[n].compat_break_filter(v0, vn, cut_off)
+             for n in names}
+    per = [(n, *device_line_pack(packs[n], grid, keep=keeps[n],
+                                 cut_off=cut_off)) for n in names]
+    q_t0 = per[0][2]["q_t0"]
+    if any(s["q_t0"] != q_t0 for _, _, s in per):
+        raise ValueError("stacked gases must share the TIPS table base "
+                         "temperature")
+    n_temps = max(a["q_table"].shape[1] for _, a, _ in per)
+
+    parts = {key: [] for key in _LINE_KEYS}
+    gas_idx, flat_off, q_tables = [], [], []
+    host = {key: [] for key in ("nu", "mass", "delta_air", "gamma_air",
+                                "n_air")}
+    row_off = 0
+    for g, (name, a, s) in enumerate(per):
+        num = a["nu"].shape[0]
+        for key in _LINE_KEYS:
+            parts[key].append(a[key] + row_off if key == "q_row"
+                              else a[key])
+        q_tab = a["q_table"]
+        if q_tab.shape[1] < n_temps:
+            q_tab = np.pad(q_tab, ((0, 0), (0, n_temps - q_tab.shape[1])),
+                           mode="edge")
+        q_tables.append(q_tab)
+        row_off += q_tab.shape[0]
+        gas_idx.append(np.full(num, g, np.int32))
+        flat_off.append(np.full(num, g * num_points, np.int32))
+        pack = packs[name]
+        keep = keeps[name]
+        host["nu"].append(pack.nu[:keep])
+        host["mass"].append(pack.mass[:keep])
+        host["delta_air"].append(pack.delta_air[:keep])
+        host["gamma_air"].append(pack.gamma_air[:keep])
+        host["n_air"].append(pack.n_air[:keep])
+
+    arrays = {key: np.concatenate(parts[key]) for key in _LINE_KEYS}
+    arrays["q_table"] = np.concatenate(q_tables, axis=0)
+    arrays["gas_idx"] = np.concatenate(gas_idx)
+    arrays["flat_off"] = np.concatenate(flat_off)
+    host = {key: np.concatenate(val) for key, val in host.items()}
+    static = dict(per[0][2])
+    static["num_lines"] = int(arrays["nu"].shape[0])
+    static["num_gases"] = len(names)
+    static["flat_points"] = len(names) * num_points
+    return arrays, host, static, names
+
+
+def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
+                             tile=None, chunk=None, t_max=350.0,
+                             p_max_atm=5.0, backend="pallas",
+                             interpret=False):
+    """Builds the all-gases single-launch batched pipeline for one grid.
+
+    The 7-gas quickstart runs as ONE wings pass + ONE rows pass per layer
+    batch instead of 7 separate launches (reference serial loop
+    spectroscopy.py:166).  Host-side CSR/instance grouping works on the
+    flat [G * num_points] grid unchanged: each gas's flat windows are
+    globally nu-sorted within its segment and pre-clamped to it.
+
+    Args:
+        packs: dict name -> LinePack.
+        backend: "pallas" (TPU wings+rows kernels) or "xla" (portable
+            scatter-add, used for CPU parity tests).
+        interpret: run Pallas kernels in interpret mode (tests).
+
+    Returns:
+        fn(temperature[B], pressure[B], vmr[B, G]) -> jnp float32
+        [B, G, num_points] absorption cross sections [m2] on the internal
+        grid, gases ordered as ``list(packs)``.
+    """
+    from ..ops import lineshape_pallas as lp
+    from ..ops.lineshape import core_halfwidths
+
+    tile = tile or lp.DEFAULT_TILE
+    chunk = chunk or lp.DEFAULT_CHUNK
+    arrays_np, host, static, names = stack_device_packs(packs, grid,
+                                                        cut_off)
+    num_points = static["num_points"]
+    flat_points = static["flat_points"]
+    n_per_v = static["n_per_v"]
+    v0 = static["v0"]
+    num_gases = static["num_gases"]
+    keep = static["num_lines"]
+    if keep == 0:
+        def empty(t, p, x):
+            batch = jnp.atleast_1d(t).shape[0]
+            return jnp.zeros((batch, num_gases, num_points), jnp.float32)
+        return empty
+
+    # Flat windows for the CSR, from unshifted positions +/-1 wavenumber
+    # slop, clamped per gas segment then offset (same convention as the
+    # device physics above).
+    off = arrays_np["flat_off"].astype(np.int64)
+    b0 = np.floor(host["nu"]).astype(np.int64)
+    s_loc = np.clip((b0 - 1 - cut_off - v0) * n_per_v, 0, num_points - 1)
+    e_loc = np.clip((b0 + 1 + cut_off + 1 - v0) * n_per_v, 0,
+                    num_points - 1)
+    s_wide = off + s_loc
+    e_wide = off + e_loc
+
+    if backend == "xla":
+        from ..ops import lineshape
+        window = (2 * cut_off + 1) * n_per_v + 1
+        core_w = min(128, (cut_off + 1) * n_per_v)
+        arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+
+        @jax.jit
+        def fn_xla(temperature, pressure, vmr):
+            def one_layer(t, p, x):
+                ka = _pad_to_chunk(
+                    line_kernel_arrays(arrays_dev, static, t, p, x), chunk)
+                return lineshape.accumulate_segment(
+                    ka, 0, flat_points, flat_points, window, core_w, chunk)
+
+            k = jax.vmap(one_layer)(temperature, pressure, vmr)
+            return k.reshape(k.shape[0], num_gases, num_points)
+
+        return fn_xla
+
+    w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points, tile,
+                                       chunk)
+    # Rows-core instance windows, sized exactly like make_batched_tpu_fn
+    # but placed in the flat grid (clamped to the gas segment).
+    alpha_ref = (host["nu"] / c.VLIGHT) * np.sqrt(
+        c.R2 * t_max / np.maximum(host["mass"], 1.0))
+    repwid_ref = c.SQRT_LN2 / np.maximum(alpha_ref, 1e-300)
+    core_w = core_halfwidths(repwid_ref, n_per_v, cut_off)
+    shift_w = np.ceil(np.abs(host["delta_air"]) * p_max_atm
+                      * n_per_v).astype(np.int64) + 1
+    center0 = np.rint((host["nu"] - v0) * n_per_v).astype(np.int64)
+    y_ref = (c.SQRT_LN2 / np.maximum(
+        (host["nu"] / c.VLIGHT) * np.sqrt(
+            c.R2 * 275.0 / np.maximum(host["mass"], 1.0)), 1e-300)
+        ) * host["gamma_air"] * (296.0 / 275.0) ** host["n_air"]
+    inst_line, g_start, g_n = lp.build_core_groups(
+        off + np.clip(center0 - core_w - shift_w, 0, num_points - 1),
+        off + np.clip(center0 + core_w + shift_w, 0, num_points - 1),
+        flat_points, tile, sort_key=y_ref)
+
+    arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    inst_line_dev = jnp.asarray(inst_line)
+    pad = -keep % chunk
+
+    @jax.jit
+    def fn_jit(temperature, pressure, vmr):
+        def one_layer(t, p, x):
+            ka = line_kernel_arrays(arrays_dev, static, t, p, x)
+            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                    ka["scaled_repwid"], ka["y"], ka["prefactor"],
+                    ka["s_idx"].astype(jnp.float32),
+                    ka["e_idx"].astype(jnp.float32),
+                    jnp.zeros_like(ka["c_frac"])]
+            fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
+            padded = [jnp.pad(r, (0, pad), constant_values=v)
+                      for r, v in zip(rows, fill)]
+            soa = jnp.stack(padded, axis=0)
+            groups = lp.gather_group_params(
+                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                 "e_idx": ka["e_idx"]}, inst_line_dev, xp=jnp)
+            return soa, groups
+
+        soa, groups = jax.vmap(one_layer)(temperature, pressure, vmr)
+        batch = soa.shape[0]
+        k = lp._pallas_wings_rows_batched(
+            soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
+            np.broadcast_to(w_n, (batch,) + w_n.shape),
+            groups, g_start, g_n, flat_points, tile, chunk, lp.ROWS_CHUNK,
+            interpret=interpret)
+        return k.reshape(batch, num_gases, num_points)
+
+    def fn(temperature, pressure, vmr):
+        t_check = np.asarray(temperature)
+        p_check = np.asarray(pressure) * c.PA_TO_ATM
+        if t_check.size and float(t_check.max()) > t_max:
+            raise ValueError(
+                f"temperature {float(t_check.max()):.1f} K exceeds the "
+                f"kernel envelope t_max={t_max} K; rebuild with a larger "
+                "t_max")
+        if p_check.size and float(p_check.max()) > p_max_atm:
+            raise ValueError(
+                f"pressure {float(p_check.max()):.2f} atm exceeds the "
+                f"kernel envelope p_max_atm={p_max_atm}; rebuild with a "
+                "larger p_max_atm")
+        return fn_jit(temperature, pressure, vmr)
+
+    return fn
 
 
 def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,

@@ -87,6 +87,7 @@ class Spectroscopy:
         self.cross_sections_backend = cross_sections_backend
         self.cross_sections_engine = cross_sections[cross_sections_backend]
         self.cache = {}
+        self._multigas_fns = {}
 
         Output = namedtuple("Output",
                             ["dims", "dim_sizes", "mechanisms", "units"])
@@ -101,6 +102,83 @@ class Spectroscopy:
     def list_molecules(self):
         """Molecules available in the spectral database."""
         return self.lines_database.molecules()
+
+    def _compute_lines_stacked(self, temperature, pressure, vmr_by_gas,
+                               remove_pedestal, backend=None,
+                               interpret=False):
+        """One stacked kernel launch for every gas's lines.
+
+        Replaces the reference's serial per-gas dispatch
+        (reference spectroscopy.py:166-205) on TPU: all molecules' line
+        lists are concatenated with per-line gas indices and a flat
+        [G * num_points] output grid, so the whole layer batch x gas
+        product is 2 kernel launches (wings + rows) total.
+
+        Args:
+            vmr_by_gas: dict name -> [B] mole fractions (insertion order
+                fixes the gas order).
+            backend: override ("pallas"/"xla"); default = the gases'
+                resolved backend, falling back to per-gas dispatch (empty
+                result) unless every stackable gas resolves to "pallas".
+
+        Returns:
+            dict name -> [B, num_points] float64 cross sections [m2] on
+            the internal grid, or {} when the stacked path does not apply.
+        """
+        from .models.lines.gas import internal_grid
+        from .models.lines.pedestal import (apply_pedestal_batch,
+                                            compute_pedestals_batch)
+        from .models.lines.physics import (kernel_inputs,
+                                           line_profile_params)
+        from .parallel.lines import make_multigas_batched_fn
+        from .utils.constants import DEFAULT_CUT_OFF
+
+        packs = {}
+        for name in vmr_by_gas:
+            gas = self.cache[name].gas
+            if gas is None:
+                continue
+            if not hasattr(gas, "pack"):
+                return {}
+            if backend is None and gas._resolve_backend() != "pallas":
+                return {}
+            packs[name] = gas.pack
+        if not packs:
+            return {}
+        key = (float(self.grid[0]), float(self.grid[-1]), self.grid.size,
+               tuple(packs), backend, interpret)
+        fn = self._multigas_fns.get(key)
+        if fn is None:
+            try:
+                fn = make_multigas_batched_fn(
+                    packs, self.grid, backend=backend or "pallas",
+                    interpret=interpret)
+            except ValueError:
+                return {}
+            self._multigas_fns[key] = fn
+        vmr_mat = np.stack([np.asarray(v, np.float64)
+                            for v in vmr_by_gas.values()], axis=1)
+        vmr_mat = vmr_mat[:, [i for i, n in enumerate(vmr_by_gas)
+                              if n in packs]]
+        k = np.asarray(fn(temperature.astype(np.float32),
+                          pressure.astype(np.float32),
+                          vmr_mat.astype(np.float32)), np.float64)
+        if remove_pedestal:
+            v0, vn, n_per_v, num_points = internal_grid(self.grid)
+            for g, (name, pack) in enumerate(packs.items()):
+                keep = pack.compat_break_filter(v0, vn, DEFAULT_CUT_OFF)
+                if keep == 0:
+                    continue
+                params = line_profile_params(pack, temperature, pressure,
+                                             vmr_mat[:, g], keep=keep)
+                kin = kernel_inputs(params, v0, n_per_v, DEFAULT_CUT_OFF)
+                kin["nu_raw"] = pack.nu[:keep]
+                kin["nu_shift"] = params["nu_shift"]
+                ped = compute_pedestals_batch(k[:, g], kin, num_points,
+                                              n_per_v, DEFAULT_CUT_OFF)
+                k[:, g] = apply_pedestal_batch(k[:, g], ped, kin["s_idx"],
+                                               kin["e_idx"], num_points)
+        return {name: k[:, g] for g, name in enumerate(packs)}
 
     def compute_absorption(self, output_format="all", remove_pedestal=None):
         """Computes absorption [m-1] for every gas/layer/mechanism.
@@ -124,25 +202,34 @@ class Spectroscopy:
         beta = {}
         num_states = temperature.size
         shape = np.asarray(self.atmosphere.temperature.data).shape
+        for name in self.atmosphere.gases:
+            if name not in self.cache:
+                self.cache[name] = MoleculeCache(
+                    name, self.grid, self.lines_database,
+                    self.lines_engine, self.continua_engine,
+                    self.cross_sections_engine)
+        # Lines, all gases, all layers: ONE stacked kernel launch on TPU
+        # (vs the reference's gas x layer serial loops,
+        # spectroscopy.py:166-191); {} when the backend is not stackable.
+        vmr_by_gas = {
+            name: np.asarray(mf.data, dtype=np.float64).ravel()
+            for name, mf in self.atmosphere.gases.items()}
+        lines_stacked = self._compute_lines_stacked(
+            temperature, pressure, vmr_by_gas, remove_pedestal)
         for name, mole_fraction in self.atmosphere.gases.items():
             varname = f"{name}_absorption"
             beta[varname] = DataArray(np.zeros(self.output.dim_sizes),
                                       dims=self.output.dims,
                                       attrs=self.output.units)
-            data = self.cache.get(name)
-            if data is None:
-                data = MoleculeCache(name, self.grid, self.lines_database,
-                                     self.lines_engine, self.continua_engine,
-                                     self.cross_sections_engine)
-                self.cache[name] = data
-            fraction = np.asarray(mole_fraction.data,
-                                  dtype=np.float64).ravel()
+            data = self.cache[name]
+            fraction = vmr_by_gas[name]
 
-            # Lines: one batched kernel launch across all layers when the
-            # engine supports it (TPU); the reference loops layers serially
-            # (spectroscopy.py:179-191).
-            lines_batch = None
-            if data.gas is not None and num_states > 1 and \
+            # Per-gas fallback: one batched kernel launch across all
+            # layers when the engine supports it (TPU); the reference
+            # loops layers serially (spectroscopy.py:179-191).
+            lines_batch = lines_stacked.get(name)
+            if lines_batch is None and data.gas is not None and \
+                    num_states > 1 and \
                     hasattr(data.gas, "absorption_coefficient_batch"):
                 lines_batch = data.gas.absorption_coefficient_batch(
                     temperature, pressure, fraction, self.grid,
