@@ -52,6 +52,37 @@ def calculate_xsec_fullmodel(temperature, pressure, coeffs):
     return xsec
 
 
+def calculate_xsec_fullmodel_batch(temperature, pressure, coeffs, xp=np):
+    """Branchless layer-batched :func:`calculate_xsec_fullmodel`.
+
+    Same clip-and-rescale semantics expressed with ``where`` selects per
+    layer (jit/vmap-safe): rescale by total/clipped only when negatives
+    exist AND the pre-clip total is non-negative AND the clipped sum is
+    nonzero (reference xsec_aux_functions.py:100-121).
+
+    Args:
+        temperature / pressure: [B] arrays.
+        coeffs: [4, nfreq].
+        xp: numpy or jax.numpy.
+
+    Returns:
+        [B, nfreq] cross sections [m2].
+    """
+    t = xp.asarray(temperature)[:, None]
+    p = xp.asarray(pressure)[:, None]
+    xsec = (coeffs[0] + coeffs[1] * t + coeffs[2] * p
+            + coeffs[3] * t * t)
+    negative = xsec < 0
+    any_neg = xp.any(negative, axis=-1, keepdims=True)
+    total = xp.sum(xsec, axis=-1, keepdims=True)
+    clipped_xsec = xp.where(negative, 0.0, xsec)
+    clipped = xp.sum(clipped_xsec, axis=-1, keepdims=True)
+    rescale = any_neg & (total >= 0) & (clipped != 0)
+    safe = xp.where(clipped == 0, 1.0, clipped)
+    scale = xp.where(rescale, total / safe, 1.0)
+    return xp.where(any_neg, clipped_xsec * scale, xsec)
+
+
 class CrossSection:
     """Cross sections for one molecule (API-compatible with the reference
     ``pyLBL.arts_crossfit.CrossSection``)."""
@@ -102,3 +133,48 @@ class CrossSection:
             xsec = calculate_xsec_fullmodel(temperature, pressure, coeffs)
             total += interp(xsec)
         return total
+
+    def absorption_coefficient_batch(self, grid, temperature, pressure):
+        """Layer-batched absorption cross sections [B, grid.size]."""
+        grid = np.asarray(grid, dtype=np.float64)
+        key = (float(grid[0]), float(grid[-1]), grid.size)
+        interps = self._interp_cache.get(key)
+        if interps is None:
+            freq_user = grid * SPEED_OF_LIGHT * 100.0
+            interps = [NonuniformGridInterp(fgrid, freq_user)
+                       for fgrid, _ in self.bands]
+            self._interp_cache[key] = interps
+        temperature = np.atleast_1d(np.asarray(temperature, np.float64))
+        pressure = np.atleast_1d(np.asarray(pressure, np.float64))
+        total = np.zeros((temperature.size, grid.size))
+        for (fgrid, coeffs), interp in zip(self.bands, interps):
+            total += interp(calculate_xsec_fullmodel_batch(
+                temperature, pressure, coeffs))
+        return total
+
+    def device_absorption_fn(self, grid):
+        """Builds a jitted on-device evaluator for this molecule.
+
+        Returns:
+            fn(temperature[B], pressure[B]) -> jnp [B, grid.size] cross
+            sections [m2] (fit + clip-rescale + gather interpolation all
+            traced through jnp).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        grid = np.asarray(grid, dtype=np.float64)
+        freq_user = grid * SPEED_OF_LIGHT * 100.0
+        interps = [NonuniformGridInterp(fgrid, freq_user)
+                   for fgrid, _ in self.bands]
+        coeff_list = [jnp.asarray(coeffs) for _, coeffs in self.bands]
+
+        @jax.jit
+        def fn(temperature, pressure):
+            total = jnp.zeros(temperature.shape + (grid.size,))
+            for coeffs, interp in zip(coeff_list, interps):
+                total = total + interp(calculate_xsec_fullmodel_batch(
+                    temperature, pressure, coeffs, xp=jnp))
+            return total
+
+        return fn

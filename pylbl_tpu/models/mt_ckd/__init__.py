@@ -58,19 +58,54 @@ class BandedContinuum:
         """Continuum extinction [m-1] on the user grid [cm-1].
 
         Args:
-            temperature: temperature [K].
+            temperature: temperature [K], scalar or [B] layer batch.
             pressure: pressure [Pa] (converted to mb internally, reference
-                utils.py:172).
+                utils.py:172), scalar or [B].
             vmr: dict of mole fractions (must include every gas the bands
-                reference, e.g. "H2O" for the dry-air density).
+                reference, e.g. "H2O" for the dry-air density); values
+                scalar or [B].
             grid: user wavenumber grid [cm-1].
+
+        Returns:
+            [grid.size] (scalar inputs) or [B, grid.size] extinction.
         """
         grid = np.asarray(grid, dtype=np.float64)
-        total = np.zeros(grid.size)
+        shape = np.shape(temperature) + (grid.size,)
+        total = np.zeros(shape)
         for i, band in enumerate(self.bands):
             native = band.spectra(temperature, pressure * PA_TO_MB, vmr)
             total += self._interp(i, grid)(native) * M_TO_CM
         return total
+
+    def device_spectra(self, grid):
+        """Builds a jitted on-device evaluator for this continuum.
+
+        All band formulas trace through jnp (bands.py is xp-generic) and
+        the grid interpolation is two gathers + fma, so the whole layer
+        batch evaluates on the accelerator with no host round trip
+        (the reference evaluates per layer in numpy,
+        mt_ckd/utils.py:157-174).
+
+        Returns:
+            fn(temperature[B], pressure_Pa[B], vmr dict of [B])
+            -> jnp [B, grid.size] extinction [m-1].
+        """
+        import jax
+        import jax.numpy as jnp
+
+        grid = np.asarray(grid, dtype=np.float64)
+        interps = [self._interp(i, grid) for i in range(len(self.bands))]
+
+        @jax.jit
+        def fn(temperature, pressure, vmr):
+            total = jnp.zeros(temperature.shape + (grid.size,))
+            for band, interp in zip(self.bands, interps):
+                native = band.spectra(temperature, pressure * PA_TO_MB,
+                                      vmr, xp=jnp)
+                total = total + interp(native) * M_TO_CM
+            return total
+
+        return fn
 
 
 class WaterVaporSelfContinuum(BandedContinuum):

@@ -18,9 +18,9 @@ from .tables import Table, subgrid_bounds
 from ...utils.constants import LOSCHMIDT, P0, C2, T0, T273
 
 
-def _col(value):
+def _col(value, xp=np):
     """Shapes a scalar or [B] layer quantity for grid broadcasting."""
-    return np.asarray(value, dtype=np.float64)[..., None]
+    return xp.asarray(value, dtype=xp.float64)[..., None]
 
 
 def dry_air_number_density(pressure, temperature, vmr):
@@ -35,7 +35,7 @@ def air_number_density(pressure, temperature, vmr):
                for x in vmr.values())
 
 
-def radiation_term(wavenumber, temperature):
+def radiation_term(wavenumber, temperature, xp=np):
     """Radiation term [cm-1] (reference mt_ckd/utils.py:45-59).
 
     Replicates the reference's ``where`` ordering exactly: the x <= 0.01
@@ -44,11 +44,11 @@ def radiation_term(wavenumber, temperature):
     r = nu * tanh(x/2) for x <= 10 and r = nu beyond.
     """
     t = temperature / C2
-    x = wavenumber / _col(t)
-    r = np.broadcast_to(wavenumber, x.shape)
-    r = np.where(x <= 0.01, 0.5 * x * wavenumber, r)
-    return np.where(x <= 10.0, wavenumber * (1.0 - np.exp(-x))
-                    / (1.0 + np.exp(-x)), r)
+    x = wavenumber / _col(t, xp)
+    r = xp.broadcast_to(wavenumber, x.shape)
+    r = xp.where(x <= 0.01, 0.5 * x * wavenumber, r)
+    return xp.where(x <= 10.0, wavenumber * (1.0 - xp.exp(-x))
+                    / (1.0 + xp.exp(-x)), r)
 
 
 class _Band:
@@ -72,16 +72,16 @@ class WaterVaporARMSelfContinuum(_Band):
         self.b260 = Table("bs260", path)
         self._grid = self.b296.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
-        t_factor = _col((np.asarray(temperature) - T0) / (260.0 - T0))
+    def spectra(self, temperature, pressure, vmr, xp=np):
+        t_factor = _col((xp.asarray(temperature) - T0) / (260.0 - T0), xp)
         nh2o = _col(dry_air_number_density(pressure, temperature, vmr)
-                    * vmr["H2O"])
-        n = _col(air_number_density(pressure, temperature, vmr))
-        rad = radiation_term(self._grid, temperature)
-        return (nh2o * (nh2o / n) * _col(pressure) / P0
-                * (T0 / _col(temperature)) * 1.0e-20 * rad
+                    * vmr["H2O"], xp)
+        n = _col(air_number_density(pressure, temperature, vmr), xp)
+        rad = radiation_term(self._grid, temperature, xp)
+        return (nh2o * (nh2o / n) * _col(pressure, xp) / P0
+                * (T0 / _col(temperature, xp)) * 1.0e-20 * rad
                 * self.b296.data
-                * np.power(self.b260.data / self.b296.data, t_factor))
+                * xp.power(self.b260.data / self.b296.data, t_factor))
 
     def grid(self):
         return self._grid
@@ -110,13 +110,13 @@ class WaterVaporIASIForeignContinuum(_Band):
                            + (57600.0 / (vdelmsq1 + 57600.0 + vmf1)))
         ) / (1.0 + 0.3 * vf2)
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         nh2o = _col(dry_air_number_density(pressure, temperature, vmr)
-                    * vmr["H2O"])
-        n = _col(air_number_density(pressure, temperature, vmr))
-        rad = radiation_term(self.grid(), temperature)
-        return ((1.0 - (nh2o / n)) * _col(pressure) / P0
-                * (T0 / _col(temperature)) * 1.0e-20 * nh2o * rad
+                    * vmr["H2O"], xp)
+        n = _col(air_number_density(pressure, temperature, vmr), xp)
+        rad = radiation_term(self.grid(), temperature, xp)
+        return ((1.0 - (nh2o / n)) * _col(pressure, xp) / P0
+                * (T0 / _col(temperature, xp)) * 1.0e-20 * nh2o * rad
                 * self.scale * self.data.data)
 
     def grid(self):
@@ -139,13 +139,13 @@ class CarbonDioxideHartmannContinuum(_Band):
         self.xfac_co2 = np.ones(self.data.data.size)
         self.xfac_co2[lower:upper + 1] = x.data
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         nco2 = _col(dry_air_number_density(pressure, temperature, vmr)
-                    * vmr["CO2"])
-        rad = radiation_term(self.grid(), temperature)
-        return (nco2 * 1.0e-20 * _col(pressure) / P0
-                * (T0 / _col(temperature)) * rad * self.xfac_co2
-                * np.power(_col(temperature) / 246.0, self.t_correction)
+                    * vmr["CO2"], xp)
+        rad = radiation_term(self.grid(), temperature, xp)
+        return (nco2 * 1.0e-20 * _col(pressure, xp) / P0
+                * (T0 / _col(temperature, xp)) * rad * self.xfac_co2
+                * xp.power(_col(temperature, xp) / 246.0, self.t_correction)
                 * self.data.data)
 
     def grid(self):
@@ -162,11 +162,11 @@ class OzoneChappuisWulfContinuum(_Band):
                      Table("z_o3", path)]
         self._grid = self.data[0].wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no3 = _col(dry_air_number_density(pressure, temperature, vmr)
-                   * vmr["O3"])
-        dt = _col(np.asarray(temperature) - T273)
-        rad = radiation_term(self._grid, temperature)
+                   * vmr["O3"], xp)
+        dt = _col(xp.asarray(temperature) - T273, xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return 1.0e-20 * no3 * rad * (
             self.data[0].data + self.data[1].data * dt
             + self.data[2].data * dt * dt) / self._grid
@@ -183,11 +183,11 @@ class OzoneHartleyHugginsContinuum(_Band):
                      Table("o3_hh2", path)]
         self._grid = self.data[0].wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no3 = _col(dry_air_number_density(pressure, temperature, vmr)
-                   * vmr["O3"])
-        dt = _col(np.asarray(temperature) - T273)
-        rad = radiation_term(self._grid, temperature)
+                   * vmr["O3"], xp)
+        dt = _col(xp.asarray(temperature) - T273, xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return (1.0e-20 * no3 * rad * (self.data[0].data / self._grid)
                 * (1.0 + self.data[1].data * dt
                    + self.data[2].data * dt * dt))
@@ -203,10 +203,10 @@ class OzoneUVContinuum(_Band):
         self.data = Table("o3_huv", path)
         self._grid = self.data.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no3 = _col(dry_air_number_density(pressure, temperature, vmr)
-                   * vmr["O3"])
-        rad = radiation_term(self._grid, temperature)
+                   * vmr["O3"], xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return no3 * rad * self.data.data / self._grid
 
     def grid(self):
@@ -222,16 +222,16 @@ class OxygenCIAFundamentalContinuum(_Band):
         self.data = [Table("o2_f", path), Table("o2_t", path)]
         self._grid = self.data[0].wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = _col(dry_air_number_density(pressure, temperature, vmr)
-                   * vmr["O2"])
-        tau_factor = no2 * 1.0e-20 * _col(pressure) / P0 * \
-            (T273 / _col(temperature))
-        rad = radiation_term(self._grid, temperature)
-        xktfac = (1.0 / T0) - (1.0 / _col(temperature))
+                   * vmr["O2"], xp)
+        tau_factor = no2 * 1.0e-20 * _col(pressure, xp) / P0 * \
+            (T273 / _col(temperature, xp))
+        rad = radiation_term(self._grid, temperature, xp)
+        xktfac = (1.0 / T0) - (1.0 / _col(temperature, xp))
         factor = 1.0e20 / LOSCHMIDT
         return (tau_factor * rad * factor * self.data[0].data
-                * np.exp(self.data[1].data * xktfac) / self._grid)
+                * xp.exp(self.data[1].data * xktfac) / self._grid)
 
     def grid(self):
         return self._grid
@@ -244,14 +244,14 @@ class OxygenCIANIRContinuum(_Band):
         self.data = Table("o2_inf1", path)
         self._grid = self.data.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = dry_air_number_density(pressure, temperature, vmr) * vmr["O2"]
         ao2 = 1.0 / 0.446
         an2 = 0.3 / 0.446
         tau_factor = _col(
             (no2 / LOSCHMIDT) * (pressure / P0) * (T273 / temperature)
-            * (ao2 * vmr["O2"] + an2 * vmr["N2"] + vmr["H2O"]))
-        rad = radiation_term(self._grid, temperature)
+            * (ao2 * vmr["O2"] + an2 * vmr["N2"] + vmr["H2O"]), xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return tau_factor * rad * self.data.data / self._grid
 
     def grid(self):
@@ -274,12 +274,12 @@ class OxygenCIANIR2Continuum(_Band):
             + ((3.086e-05 * damp2 / hw2) / (1.0 + (dv2 / hw2) ** 2))) * 1.054
         self.data = o2inf / self._grid
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = dry_air_number_density(pressure, temperature, vmr) * vmr["O2"]
         n = air_number_density(pressure, temperature, vmr)
         adjwo2 = _col((no2 / n) * (1.0 / vmr["O2"]) * no2 * 1.0e-20
-                      * (pressure / P0) * (T0 / temperature))
-        rad = radiation_term(self._grid, temperature)
+                      * (pressure / P0) * (T0 / temperature), xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return adjwo2 * rad * self.data
 
     def grid(self):
@@ -293,11 +293,11 @@ class OxygenCIANIR3Continuum(_Band):
         self.data = Table("o2_inf3", path)
         self._grid = self.data.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = dry_air_number_density(pressure, temperature, vmr) * vmr["O2"]
         tau_factor = _col((no2 / LOSCHMIDT) * (pressure / P0)
-                          * (T273 / temperature))
-        rad = radiation_term(self._grid, temperature)
+                          * (T273 / temperature), xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return tau_factor * rad * self.data.data / self._grid
 
     def grid(self):
@@ -311,12 +311,12 @@ class OxygenVisibleContinuum(_Band):
         self.data = Table("o2_invis", path)
         self._grid = self.data.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = dry_air_number_density(pressure, temperature, vmr) * vmr["O2"]
         n = air_number_density(pressure, temperature, vmr)
         adjwo2 = _col((no2 / n) * no2 * 1.0e-20 * (pressure / P0)
-                      * (T273 / temperature))
-        rad = radiation_term(self._grid, temperature)
+                      * (T273 / temperature), xp)
+        rad = radiation_term(self._grid, temperature, xp)
         factor = 1.0 / (LOSCHMIDT * 1.0e-20 * (55.0 * T273 / T0) ** 2 * 89.5)
         return adjwo2 * rad * factor * self.data.data / self._grid
 
@@ -337,12 +337,12 @@ class OxygenHerzbergContinuum(_Band):
             -69.738 * np.power(np.log(yratio), 2)) - corr
         self.data = np.where(self._grid <= 36000.0, 0.0, data)
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = _col(dry_air_number_density(pressure, temperature, vmr)
-                   * vmr["O2"])
-        rad = radiation_term(self._grid, temperature)
+                   * vmr["O2"], xp)
+        rad = radiation_term(self._grid, temperature, xp)
         factor = _col(1.0 + 0.83 * (pressure / P0)
-                      * (T273 / np.asarray(temperature, dtype=np.float64)))
+                      * (T273 / xp.asarray(temperature, dtype=xp.float64)), xp)
         return 1.0e-20 * no2 * rad * factor * self.data / self._grid
 
     def grid(self):
@@ -356,10 +356,10 @@ class OxygenUVContinuum(_Band):
         self.data = Table("o2_infuv", path)
         self._grid = self.data.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         no2 = _col(dry_air_number_density(pressure, temperature, vmr)
-                   * vmr["O2"])
-        rad = radiation_term(self._grid, temperature)
+                   * vmr["O2"], xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return 1.0e-20 * no2 * rad * self.data.data / self._grid
 
     def grid(self):
@@ -376,20 +376,21 @@ class NitrogenCIAPureRotationContinuum(_Band):
                      220: [Table("ct_220", path), Table("sf_220", path)]}
         self._grid = self.data[296][0].wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         nn2 = dry_air_number_density(pressure, temperature, vmr) * vmr["N2"]
         tau_factor = _col((nn2 / LOSCHMIDT) * (pressure / P0)
-                          * (T273 / temperature))
-        rad = radiation_term(self._grid, temperature)
-        factor = _col((np.asarray(temperature, dtype=np.float64) - T0)
-                      / (220.0 - T0))
-        c = self.data[296][0].data * np.power(
+                          * (T273 / temperature), xp)
+        rad = radiation_term(self._grid, temperature, xp)
+        factor = _col((xp.asarray(temperature, dtype=xp.float64) - T0)
+                      / (220.0 - T0), xp)
+        c = self.data[296][0].data * xp.power(
             self.data[220][0].data / self.data[296][0].data, factor)
-        s = self.data[296][1].data * np.power(
+        s = self.data[296][1].data * xp.power(
             self.data[220][1].data / self.data[296][1].data, factor)
-        fo2 = (s - 1.0) * vmr["N2"] / vmr["O2"]
-        return tau_factor * rad * c * (vmr["N2"] + fo2 * vmr["O2"]
-                                       + vmr["H2O"])
+        fo2 = (s - 1.0) * _col(vmr["N2"] / vmr["O2"], xp)
+        return tau_factor * rad * c * (_col(vmr["N2"], xp)
+                                       + fo2 * _col(vmr["O2"], xp)
+                                       + _col(vmr["H2O"], xp))
 
     def grid(self):
         return self._grid
@@ -403,22 +404,26 @@ class NitrogenCIAFundamentalContinuum(_Band):
                      Table("a_h2o", path)]
         self._grid = self.data[0].wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         nn2 = dry_air_number_density(pressure, temperature, vmr) * vmr["N2"]
         tau_factor = _col((nn2 / LOSCHMIDT) * (pressure / P0)
-                          * (T273 / temperature))
-        rad = radiation_term(self._grid, temperature)
-        t = np.asarray(temperature, dtype=np.float64)
-        xtfac = _col((1.0 / t - 1.0 / 272.0) / (1.0 / 228.0 - 1.0 / 272.0))
-        ao2 = _col(1.294 - 0.4545 * t / T0)
-        c0 = np.zeros(xtfac.shape[:-1] + (self.data[0].data.size,))
-        c0[..., 1:-1] = self.data[0].data[1:-1] * np.power(
+                          * (T273 / temperature), xp)
+        rad = radiation_term(self._grid, temperature, xp)
+        t = xp.asarray(temperature, dtype=xp.float64)
+        xtfac = _col((1.0 / t - 1.0 / 272.0) / (1.0 / 228.0 - 1.0 / 272.0), xp)
+        ao2 = _col(1.294 - 0.4545 * t / T0, xp)
+        inner = self.data[0].data[1:-1] * xp.power(
             self.data[1].data[1:-1] / self.data[0].data[1:-1], xtfac)
-        c0 = c0 / self._grid
+        # The reference zeroes the first/last native points
+        # (nitrogen.py:49-53); pad instead of in-place assignment so the
+        # formula also traces under jnp.
+        width = [(0, 0)] * (inner.ndim - 1) + [(1, 1)]
+        c0 = xp.pad(inner, width) / self._grid
         c1 = ao2 * c0
         c2 = (9.0 / 7.0) * self.data[2].data * c0
-        return tau_factor * rad * (c0 * vmr["N2"] + vmr["O2"] * c1
-                                   + vmr["H2O"] * c2)
+        return tau_factor * rad * (c0 * _col(vmr["N2"], xp)
+                                   + _col(vmr["O2"], xp) * c1
+                                   + _col(vmr["H2O"], xp) * c2)
 
     def grid(self):
         return self._grid
@@ -431,12 +436,12 @@ class NitrogenCIAFirstOvertoneContinuum(_Band):
         self.data = Table("xn2", path)
         self._grid = self.data.wavenumbers()
 
-    def spectra(self, temperature, pressure, vmr):
+    def spectra(self, temperature, pressure, vmr, xp=np):
         nn2 = dry_air_number_density(pressure, temperature, vmr) * vmr["N2"]
         tau_factor = _col((nn2 / LOSCHMIDT) * (pressure / P0)
                           * (T273 / temperature)
-                          * (vmr["N2"] + vmr["O2"] + vmr["H2O"]))
-        rad = radiation_term(self._grid, temperature)
+                          * (vmr["N2"] + vmr["O2"] + vmr["H2O"]), xp)
+        rad = radiation_term(self._grid, temperature, xp)
         return tau_factor * rad * self.data.data / self._grid
 
     def grid(self):

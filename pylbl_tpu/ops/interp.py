@@ -34,10 +34,14 @@ class UniformGridInterp:
         self.w0 = np.where(inside, 1.0 - frac, 0.0)
 
     def __call__(self, values):
-        """Interpolates values [..., size] onto the target grid [..., n]."""
+        """Interpolates values [..., size] onto the target grid [..., n].
+
+        Works on numpy or jnp values (the jnp operand leads so traced
+        arrays are never coerced through numpy).
+        """
         lo = values[..., self.idx]
         hi = values[..., self.idx + 1]
-        return self.w0 * lo + self.w1 * hi
+        return lo * self.w0 + hi * self.w1
 
 
 class NonuniformGridInterp:
@@ -64,4 +68,4 @@ class NonuniformGridInterp:
     def __call__(self, values):
         lo = values[..., self.idx]
         hi = values[..., self.idx + 1]
-        return self.w0 * lo + self.w1 * hi
+        return lo * self.w0 + hi * self.w1

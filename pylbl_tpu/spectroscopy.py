@@ -235,9 +235,22 @@ class Spectroscopy:
                     temperature, pressure, fraction, self.grid,
                     remove_pedestal=remove_pedestal)
 
+            # Continua and cross sections evaluate layer-batched (the
+            # band formulas and fit/clip/interp are vectorized over [B];
+            # the reference re-evaluates per layer,
+            # spectroscopy.py:194-205).
+            continua_batch = None
+            if data.gas_continua is not None:
+                continua_batch = sum(
+                    continuum.spectra(temperature, pressure, vmr_by_gas,
+                                      self.grid)
+                    for continuum in data.gas_continua)
+            xsec_batch = None
+            if data.cross_section is not None:
+                xsec_batch = data.cross_section.absorption_coefficient_batch(
+                    self.grid, temperature, pressure)
+
             for i in range(num_states):
-                vmr = {x: np.asarray(y.data).flat[i]
-                       for x, y in self.atmosphere.gases.items()}
                 n = number_density(temperature[i], pressure[i], fraction[i])
                 j = np.unravel_index(i, shape)
 
@@ -251,18 +264,13 @@ class Spectroscopy:
                     indices = tuple(list(j) + [0, slice(None)])
                     beta[varname].values[indices] = n * k[:self.grid.size]
 
-                if data.gas_continua is not None:
+                if continua_batch is not None:
                     indices = tuple(list(j) + [1, slice(None)])
-                    for continuum in data.gas_continua:
-                        k = continuum.spectra(temperature[i], pressure[i],
-                                              vmr, self.grid)
-                        beta[varname].values[indices] += k[:]
+                    beta[varname].values[indices] += continua_batch[i]
 
-                if data.cross_section is not None:
-                    k = data.cross_section.absorption_coefficient(
-                        self.grid, temperature[i], pressure[i])
+                if xsec_batch is not None:
                     indices = tuple(list(j) + [2, slice(None)])
-                    beta[varname].values[indices] = n * k[:]
+                    beta[varname].values[indices] = n * xsec_batch[i]
         return self._create_output_dataset(beta, output_format)
 
     def compute_absorption_streamed(self, path, remove_pedestal=None,

@@ -84,3 +84,22 @@ def test_out_of_band_grid_is_zero(tmp_path):
     grid = np.arange(1.0, 10.0, 1.0)  # far below the band frequencies
     got = xsec.absorption_coefficient(grid, 288.0, 1e5)
     assert np.array_equal(got, np.zeros(grid.size))
+
+
+def test_batched_and_device_xsec_match_scalar(tmp_path):
+    """Layer-batched and jitted-device evaluation both reproduce the
+    per-layer reference algorithm, including clip-rescale layers."""
+    path = tmp_path / "xsb.nc"
+    make_coeff_file(path, bands=3, seed=7)
+    xs = CrossSection("CFC11", str(path))
+    grid = np.arange(1.0, 3000.0, 2.0)
+    t = np.asarray([288.99, 203.37, 1000.0])  # hot layer forces clipping
+    p = np.asarray([98388.0, 11419.0, 101300.0])
+    want = np.stack([xs.absorption_coefficient(grid, t[i], p[i])
+                     for i in range(t.size)])
+    got = xs.absorption_coefficient_batch(grid, t, p)
+    np.testing.assert_allclose(got, want, rtol=1e-13)
+    fn = xs.device_absorption_fn(grid)
+    dev = np.asarray(fn(t, p))
+    np.testing.assert_allclose(dev, want, rtol=1e-12,
+                               atol=np.abs(want).max() * 1e-14)

@@ -74,3 +74,51 @@ def test_layer_batched_temperature(atmosphere, molecule_names):
               for t, p in zip(atmosphere.t, atmosphere.p)]
     batched = band.spectra(atmosphere.t, atmosphere.p * 0.01, vmr)
     np.testing.assert_allclose(batched, np.stack(single), rtol=1e-14)
+
+
+def test_all_continua_batched_vmr_matches_scalar(atmosphere, molecule_names,
+                                                 coarse_grid):
+    """Every molecule-level continuum evaluates layer-batched (vmr as [B]
+    arrays) identically to the per-layer scalar loop."""
+    from pylbl_tpu.models.mt_ckd import (CarbonDioxideContinuum,
+                                         NitrogenContinuum, OxygenContinuum,
+                                         OzoneContinuum,
+                                         WaterVaporForeignContinuum,
+                                         WaterVaporSelfContinuum)
+
+    vmr_b = {formula: np.asarray(atmosphere.vmr[name])
+             for formula, name in molecule_names.items()}
+    for cls in (WaterVaporSelfContinuum, WaterVaporForeignContinuum,
+                CarbonDioxideContinuum, OzoneContinuum, OxygenContinuum,
+                NitrogenContinuum):
+        continuum = cls()
+        batched = continuum.spectra(atmosphere.t, atmosphere.p, vmr_b,
+                                    coarse_grid)
+        for i in range(atmosphere.t.size):
+            vmr_i = {k: v[i] for k, v in vmr_b.items()}
+            single = continuum.spectra(atmosphere.t[i], atmosphere.p[i],
+                                       vmr_i, coarse_grid)
+            np.testing.assert_allclose(batched[i], single, rtol=1e-13,
+                                       err_msg=cls.__name__)
+
+
+def test_device_continuum_matches_numpy(atmosphere, molecule_names,
+                                        coarse_grid):
+    """The jitted jnp continuum evaluator reproduces the numpy (parity)
+    path on every band (x64 enabled in tests)."""
+    from pylbl_tpu.models.mt_ckd import (NitrogenContinuum,
+                                         OxygenContinuum,
+                                         WaterVaporSelfContinuum)
+
+    vmr_b = {formula: np.asarray(atmosphere.vmr[name])
+             for formula, name in molecule_names.items()}
+    for cls in (WaterVaporSelfContinuum, OxygenContinuum,
+                NitrogenContinuum):
+        continuum = cls()
+        fn = continuum.device_spectra(coarse_grid)
+        got = np.asarray(fn(atmosphere.t, atmosphere.p, vmr_b))
+        want = continuum.spectra(atmosphere.t, atmosphere.p, vmr_b,
+                                 coarse_grid)
+        np.testing.assert_allclose(got, want, rtol=1e-12,
+                                   atol=np.abs(want).max() * 1e-14,
+                                   err_msg=cls.__name__)
