@@ -18,18 +18,30 @@ vs_baseline: ratio against the reference C implementation's single-core
 rate, measured live by running the unmodified reference voigt.c/spectra.c
 (compiled via tests/oracle) on a subsample of the same workload.
 
+Beyond the headline, "extra" carries (each guarded by a deadline so the
+headline always prints):
+- max abs/rel error of the Pallas float32 spectrum vs the reference C
+  oracle on a 20k-line subsample of the same workload;
+- the production layer-batched pipeline rate (4 layers, one launch);
+- the gas-stacked pipeline rate (7 gases in ONE launch vs 7);
+- multi-device scaling of the line-sharded step on a virtual 8-device CPU
+  mesh (subprocess; work-model efficiency per BASELINE).
+
 Prints exactly one JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
 """
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).parent))
-sys.path.insert(0, str(Path(__file__).parent / "tests"))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
 
 from pylbl_tpu.database.fixtures import synthetic_line_pack  # noqa: E402
 from pylbl_tpu.models.lines import internal_grid  # noqa: E402
@@ -42,6 +54,12 @@ TEMPERATURE = 288.99  # surface layer of the canonical test column.
 PRESSURE = 98388.0
 VMR = 6.637074e-03
 CUT_OFF = 25
+DEADLINE_S = 480.0  # extras stop starting after this much wall time.
+_T0 = time.perf_counter()
+
+
+def over_deadline():
+    return time.perf_counter() - _T0 > DEADLINE_S
 
 
 def build_workload(num_lines=300000):
@@ -50,6 +68,10 @@ def build_workload(num_lines=300000):
         band_centers=(150.0, 1600.0, 3700.0, 500.0))
     grid = np.arange(1.0, 5000.0, 0.1)
     return pack, grid
+
+
+def window_evals(keep, n_per_v):
+    return keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
 
 
 def tpu_rate(pack, grid, reps=10):
@@ -86,9 +108,9 @@ def tpu_rate(pack, grid, reps=10):
     float(chained(plan.soa, plan.groups, reps + 1))
     many = time.perf_counter() - t0
     per_spectrum = max((many - one) / reps, 1e-9)
-    evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
     max_k = float(np.asarray(plan()).max())
-    return evals / per_spectrum, max_k
+    return window_evals(keep, n_per_v) / per_spectrum, \
+        n / per_spectrum, max_k
 
 
 def reference_rate(grid, num_lines=20000):
@@ -107,23 +129,146 @@ def reference_rate(grid, num_lines=20000):
         oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
                           n_per_v, cut_off=CUT_OFF)
         dt = time.perf_counter() - t0
-        evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
-        return evals / dt
+        return window_evals(keep, n_per_v) / dt
     except Exception:
         return None
 
 
+def parity_vs_oracle(grid, num_lines=20000):
+    """Max abs/rel error of the float32 Pallas spectrum vs the compiled
+    reference C on a 20k-line subsample (BASELINE's max-abs-err column)."""
+    import oracle
+    from pylbl_tpu.ops.lineshape_pallas import accumulate_tpu
+
+    if not oracle.available():
+        return None
+    pack = synthetic_line_pack(
+        num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
+        band_centers=(150.0, 1600.0, 3700.0, 500.0))
+    v0, vn, n_per_v, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, CUT_OFF)
+    expected = oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
+                                 n_per_v, cut_off=CUT_OFF)
+    params = line_profile_params(pack, TEMPERATURE, PRESSURE, VMR, keep=keep)
+    kin = kernel_inputs(params, v0, n_per_v, CUT_OFF)
+    arrays = lineshape.prepare_kernel_arrays(kin, n_per_v, np.float32)
+    got = np.asarray(accumulate_tpu(arrays, kin, n, n_per_v, CUT_OFF),
+                     np.float64)
+    err = np.abs(got - expected)
+    return {"max_abs_err": float(err.max()),
+            "max_rel_err": float(err.max() / expected.max())}
+
+
+def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
+    """Steady-state rate of a jitted [B]-batched pipeline via the same
+    loop-carried fori chaining as the headline."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(t, p, x, nreps):
+        def body(i, carry):
+            acc, tt = carry
+            out = inner(tt, p, x)
+            acc = acc + out.ravel()[0]
+            return (acc, tt + acc * 0)
+        acc, _ = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), t))
+        return acc
+
+    t, p, x = args
+    float(chained(t, p, x, 1))
+    t0 = time.perf_counter()
+    float(chained(t, p, x, 1))
+    one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chained(t, p, x, reps + 1))
+    many = time.perf_counter() - t0
+    per_call = max((many - one) / reps, 1e-9)
+    return {"points_per_s": round(per_call_points / per_call, 1),
+            "evals_per_s": round(per_call_evals / per_call, 1),
+            "wall_s_per_call": round(per_call, 5)}
+
+
+def batched_rate(pack, grid, num_layers=4):
+    from pylbl_tpu.parallel.lines import make_batched_tpu_fn
+
+    v0, vn, n_per_v, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, CUT_OFF)
+    fn = make_batched_tpu_fn(pack, grid)
+    t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
+    p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
+    x = np.full(num_layers, VMR, np.float32)
+    return chained_rate(fn.inner, (t, p, x), num_layers * n,
+                        num_layers * window_evals(keep, n_per_v))
+
+
+def multigas_rate(grid, num_layers=4):
+    """Config-2 seven-gas quickstart shape in ONE stacked launch."""
+    from pylbl_tpu.parallel.lines import (make_multigas_batched_fn,
+                                          stack_device_packs)
+
+    names = ["H2O", "CO2", "O3", "N2O", "CO", "CH4", "O2"]
+    packs = {}
+    for g, name in enumerate(names):
+        packs[name] = synthetic_line_pack(
+            name, num_lines=300000 if name == "H2O" else 20000,
+            nu_min=0.5, nu_max=5100.0, seed=g + 1,
+            band_centers=(150.0 + 400 * g, 1600.0, 3700.0))
+    arrays, host, static, _ = stack_device_packs(packs, grid)
+    fn = make_multigas_batched_fn(packs, grid)
+    t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
+    p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
+    x = np.full((num_layers, len(names)), 1e-4, np.float32)
+    result = chained_rate(
+        fn.inner, (t, p, x),
+        num_layers * len(names) * static["num_points"],
+        num_layers * window_evals(static["num_lines"],
+                                  static["n_per_v"]))
+    result["gases"] = len(names)
+    result["total_lines"] = static["num_lines"]
+    return result
+
+
+def scaling_cpu_mesh():
+    """Runs tools/bench_scaling.py in a CPU subprocess (8 virtual devices)
+    and returns its JSON report."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_scaling.py")],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd=str(REPO))
+    if proc.returncode != 0:
+        return None
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main():
     pack, grid = build_workload()
-    rate, max_k = tpu_rate(pack, grid)
+    rate, points_rate, max_k = tpu_rate(pack, grid)
     assert np.isfinite(max_k) and max_k > 0
     ref = reference_rate(grid)
     vs_baseline = rate / ref if ref else 1.0
+
+    extra = {"single_layer_points_per_s": round(points_rate, 1)}
+    for key, fn in (("parity", lambda: parity_vs_oracle(grid)),
+                    ("batched_4layer", lambda: batched_rate(pack, grid)),
+                    ("multigas_7gas", lambda: multigas_rate(grid)),
+                    ("scaling_cpu_mesh", scaling_cpu_mesh)):
+        if over_deadline():
+            extra[key] = "skipped (deadline)"
+            continue
+        try:
+            extra[key] = fn()
+        except Exception as exc:  # never lose the headline
+            extra[key] = f"error: {type(exc).__name__}: {exc}"
+
     print(json.dumps({
         "metric": "voigt_line_point_evals_per_s",
         "value": round(rate, 1),
         "unit": "evals/s",
         "vs_baseline": round(vs_baseline, 2),
+        "extra": extra,
     }))
 
 

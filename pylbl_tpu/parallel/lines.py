@@ -391,6 +391,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                 "larger p_max_atm")
         return fn_jit(temperature, pressure, vmr)
 
+    fn.inner = fn_jit  # jit-composable (benchmark loop chaining).
     return fn
 
 
@@ -516,6 +517,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                 "larger p_max_atm")
         return fn_jit(temperature, pressure, vmr)
 
+    fn.inner = fn_jit  # jit-composable (benchmark loop chaining).
     return fn
 
 
