@@ -274,13 +274,15 @@ class Spectroscopy:
         return self._create_output_dataset(beta, output_format)
 
     def compute_absorption_streamed(self, path, remove_pedestal=None,
-                                    resume=True):
+                                    resume=True, block_layers=8):
         """Streams per-gas, per-mechanism absorption to a chunked netCDF.
 
         For grids/batches too large for an in-memory Dataset (the
-        BASELINE's RFMIP-scale configs).  Each layer/column state is
-        computed and flushed independently; an interrupted run resumes
-        from the first unwritten state.
+        BASELINE's RFMIP-scale configs).  States are computed in layer
+        blocks of ``block_layers`` — on TPU each block is one stacked
+        all-gases kernel launch plus batched continua/xsec — and flushed
+        per state; an interrupted run resumes from the first unwritten
+        state.
 
         Returns:
             The output path.
@@ -294,6 +296,8 @@ class Spectroscopy:
         if remove_pedestal is None:
             remove_pedestal = self.continua_backend == "mt_ckd"
         names = list(self.atmosphere.gases)
+        vmr_full = {x: np.asarray(y.data, dtype=np.float64).ravel()
+                    for x, y in self.atmosphere.gases.items()}
         writer = StreamingWriter(
             path, temperature.size, self.grid,
             [f"{n}_absorption" for n in names],
@@ -306,32 +310,49 @@ class Spectroscopy:
                         name, self.grid, self.lines_database,
                         self.lines_engine, self.continua_engine,
                         self.cross_sections_engine)
-            for i in writer.pending_states():
-                values = {}
-                vmr = {x: np.asarray(y.data).flat[i]
-                       for x, y in self.atmosphere.gases.items()}
+            pending = writer.pending_states()
+            for lo in range(0, pending.size, block_layers):
+                idx = pending[lo:lo + block_layers]
+                t_blk = temperature[idx]
+                p_blk = pressure[idx]
+                vmr_blk = {x: v[idx] for x, v in vmr_full.items()}
+                lines_stacked = self._compute_lines_stacked(
+                    t_blk, p_blk, vmr_blk, remove_pedestal)
+                blocks = {}
                 for name in names:
                     data = self.cache[name]
-                    block = np.zeros((len(self.output.mechanisms),
+                    block = np.zeros((idx.size,
+                                      len(self.output.mechanisms),
                                       self.grid.size))
-                    n = number_density(temperature[i], pressure[i],
-                                       vmr[name])
-                    if data.gas is not None:
-                        k = data.gas.absorption_coefficient(
-                            temperature[i], pressure[i], vmr[name],
-                            self.grid, remove_pedestal=remove_pedestal)
-                        block[0] = n * k[:self.grid.size]
+                    n_blk = number_density(t_blk, p_blk, vmr_blk[name])
+                    lines = lines_stacked.get(name)
+                    if lines is None and data.gas is not None:
+                        lines = data.gas.absorption_coefficient_batch(
+                            t_blk, p_blk, vmr_blk[name], self.grid,
+                            remove_pedestal=remove_pedestal) \
+                            if hasattr(data.gas,
+                                       "absorption_coefficient_batch") \
+                            else np.stack([
+                                data.gas.absorption_coefficient(
+                                    t_blk[j], p_blk[j], vmr_blk[name][j],
+                                    self.grid,
+                                    remove_pedestal=remove_pedestal)
+                                for j in range(idx.size)])
+                    if lines is not None:
+                        block[:, 0] = n_blk[:, None] \
+                            * lines[:, :self.grid.size]
                     if data.gas_continua is not None:
                         for continuum in data.gas_continua:
-                            block[1] += continuum.spectra(
-                                temperature[i], pressure[i], vmr, self.grid)
+                            block[:, 1] += continuum.spectra(
+                                t_blk, p_blk, vmr_blk, self.grid)
                     if data.cross_section is not None:
-                        block[2] = n * data.cross_section.\
-                            absorption_coefficient(self.grid,
-                                                   temperature[i],
-                                                   pressure[i])
-                    values[f"{name}_absorption"] = block
-                writer.write_state(int(i), values)
+                        block[:, 2] = n_blk[:, None] * \
+                            data.cross_section.absorption_coefficient_batch(
+                                self.grid, t_blk, p_blk)
+                    blocks[f"{name}_absorption"] = block
+                for j, i in enumerate(idx):
+                    writer.write_state(int(i), {
+                        key: value[j] for key, value in blocks.items()})
         return path
 
     def _create_output_dataset(self, absorption, output_format):
