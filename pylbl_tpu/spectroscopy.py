@@ -64,7 +64,8 @@ class Spectroscopy:
 
     def __init__(self, atmosphere, grid, database, mapping=None,
                  lines_backend="pyLBL", continua_backend="mt_ckd",
-                 cross_sections_backend="arts_crossfit"):
+                 cross_sections_backend="arts_crossfit", mesh=None,
+                 sharding_mode="balanced"):
         """Initializes the object.
 
         Args:
@@ -76,6 +77,14 @@ class Spectroscopy:
                 (reference spectroscopy.py:93-103).
             lines_backend / continua_backend / cross_sections_backend:
                 string backend names; unknown names raise KeyError.
+            mesh: optional jax (batch, spec) Mesh (pylbl_tpu.parallel
+                make_mesh / distributed.global_mesh): lines then compute
+                multi-device with the line list sharded over "spec" and
+                layers over "batch" (no reference analog — the reference
+                is single-process, SURVEY 2.8).
+            sharding_mode: line decomposition when ``mesh`` is given —
+                "balanced" (default), "halo", or "ring"
+                (parallel.lines.shard_line_pack).
         """
         self.atmosphere = Atmosphere(atmosphere, mapping=mapping)
         self.grid = np.asarray(grid)
@@ -88,6 +97,9 @@ class Spectroscopy:
         self.cross_sections_engine = cross_sections[cross_sections_backend]
         self.cache = {}
         self._multigas_fns = {}
+        self.mesh = mesh
+        self.sharding_mode = sharding_mode
+        self._sharded_fns = {}
 
         Output = namedtuple("Output",
                             ["dims", "dim_sizes", "mechanisms", "units"])
@@ -102,6 +114,37 @@ class Spectroscopy:
     def list_molecules(self):
         """Molecules available in the spectral database."""
         return self.lines_database.molecules()
+
+    def _compute_lines_sharded(self, temperature, pressure, vmr_by_gas,
+                               remove_pedestal):
+        """Per-gas multi-device line absorption over ``self.mesh``.
+
+        Each gas's line list is sharded over the mesh's "spec" axis and
+        the layer batch over "batch" (parallel.lines.make_sharded_pipeline,
+        including reference-exact pedestal removal).
+
+        Returns:
+            dict name -> [B, num_points] float64 cross sections [m2].
+        """
+        from .parallel.lines import make_sharded_pipeline
+
+        out = {}
+        for name, vmr in vmr_by_gas.items():
+            gas = self.cache[name].gas
+            if gas is None or not hasattr(gas, "pack"):
+                continue
+            key = (name, float(self.grid[0]), float(self.grid[-1]),
+                   self.grid.size, bool(remove_pedestal))
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                fn = make_sharded_pipeline(
+                    gas.pack, self.grid, self.mesh,
+                    mode=self.sharding_mode,
+                    remove_pedestal=remove_pedestal,
+                    weight_density=False)
+                self._sharded_fns[key] = fn
+            out[name] = fn(temperature, pressure, vmr)
+        return out
 
     def _compute_lines_stacked(self, temperature, pressure, vmr_by_gas,
                                remove_pedestal, backend=None,
@@ -214,8 +257,12 @@ class Spectroscopy:
         vmr_by_gas = {
             name: np.asarray(mf.data, dtype=np.float64).ravel()
             for name, mf in self.atmosphere.gases.items()}
-        lines_stacked = self._compute_lines_stacked(
-            temperature, pressure, vmr_by_gas, remove_pedestal)
+        if self.mesh is not None:
+            lines_stacked = self._compute_lines_sharded(
+                temperature, pressure, vmr_by_gas, remove_pedestal)
+        else:
+            lines_stacked = self._compute_lines_stacked(
+                temperature, pressure, vmr_by_gas, remove_pedestal)
         for name, mole_fraction in self.atmosphere.gases.items():
             varname = f"{name}_absorption"
             beta[varname] = DataArray(np.zeros(self.output.dim_sizes),

@@ -145,3 +145,41 @@ def test_spectroscopy_stacked_lines_with_pedestal(gas_packs):
             rel = np.abs(stacked[name][i] - want) / np.maximum(
                 np.abs(want), scale * 1e-6)
             assert rel.max() < 5e-4, f"{name} layer {i}: {rel.max()}"
+
+
+def test_spectroscopy_with_mesh_matches_default(gas_packs):
+    """Spectroscopy(mesh=...) computes lines multi-device (sharded lines +
+    pedestal) and must match the default host path."""
+    import jax
+    from pylbl_tpu import Dataset
+    from pylbl_tpu.database.db import Database
+    from pylbl_tpu.parallel import make_mesh
+    from pylbl_tpu.spectroscopy import Spectroscopy
+
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    db = Database(os.path.join(tmp, "mesh.db"))
+    for pack in gas_packs.values():
+        db.ingest_line_pack(pack)
+    atm = Dataset(data_vars={
+        "p": (["layer"], P, {"standard_name": "air_pressure", "units": "Pa"}),
+        "t": (["layer"], T, {"standard_name": "air_temperature",
+                             "units": "K"}),
+        "q": (["layer"], VMR[:, 0],
+              {"standard_name": "mole_fraction_of_water_vapor_in_air",
+               "units": "mol mol-1"}),
+        "co2": (["layer"], VMR[:, 1],
+                {"standard_name": "mole_fraction_of_carbon_dioxide_in_air",
+                 "units": "mol mol-1"}),
+    })
+    mesh = make_mesh(batch=2, spec=4)
+    sharded = Spectroscopy(atm, GRID, db, mesh=mesh).compute_absorption(
+        output_format="gas")
+    default = Spectroscopy(atm, GRID, db).compute_absorption(
+        output_format="gas")
+    for name in ("H2O_absorption", "CO2_absorption"):
+        want = default[name].data
+        got = sharded[name].data
+        scale = max(np.abs(want).max(), 1e-300)
+        rel = np.abs(got - want) / np.maximum(np.abs(want), scale * 1e-6)
+        assert rel.max() < 5e-4, f"{name}: {rel.max()}"
