@@ -127,7 +127,20 @@ class Spectroscopy:
             dict name -> [B, num_points] float64 cross sections [m2].
         """
         from .parallel.lines import make_sharded_pipeline
+        from .parallel.mesh import BATCH_AXIS
 
+        # shard_map needs the layer batch to divide the mesh batch axis;
+        # pad with copies of the last layer and slice the result.
+        num = temperature.size
+        mesh_batch = self.mesh.shape[BATCH_AXIS]
+        pad = -num % mesh_batch
+        if pad:
+            temperature = np.concatenate(
+                [temperature, np.repeat(temperature[-1:], pad)])
+            pressure = np.concatenate(
+                [pressure, np.repeat(pressure[-1:], pad)])
+            vmr_by_gas = {x: np.concatenate([v, np.repeat(v[-1:], pad)])
+                          for x, v in vmr_by_gas.items()}
         out = {}
         for name, vmr in vmr_by_gas.items():
             gas = self.cache[name].gas
@@ -143,7 +156,7 @@ class Spectroscopy:
                     remove_pedestal=remove_pedestal,
                     weight_density=False)
                 self._sharded_fns[key] = fn
-            out[name] = fn(temperature, pressure, vmr)
+            out[name] = fn(temperature, pressure, vmr)[:num]
         return out
 
     def _compute_lines_stacked(self, temperature, pressure, vmr_by_gas,
@@ -363,8 +376,12 @@ class Spectroscopy:
                 t_blk = temperature[idx]
                 p_blk = pressure[idx]
                 vmr_blk = {x: v[idx] for x, v in vmr_full.items()}
-                lines_stacked = self._compute_lines_stacked(
-                    t_blk, p_blk, vmr_blk, remove_pedestal)
+                if self.mesh is not None:
+                    lines_stacked = self._compute_lines_sharded(
+                        t_blk, p_blk, vmr_blk, remove_pedestal)
+                else:
+                    lines_stacked = self._compute_lines_stacked(
+                        t_blk, p_blk, vmr_blk, remove_pedestal)
                 blocks = {}
                 for name in names:
                     data = self.cache[name]

@@ -183,3 +183,38 @@ def test_spectroscopy_with_mesh_matches_default(gas_packs):
         scale = max(np.abs(want).max(), 1e-300)
         rel = np.abs(got - want) / np.maximum(np.abs(want), scale * 1e-6)
         assert rel.max() < 5e-4, f"{name}: {rel.max()}"
+
+
+def test_spectroscopy_streamed_with_mesh(gas_packs, tmp_path):
+    """Streamed output with a mesh: odd layer counts pad to the mesh batch
+    axis and results match the in-memory path."""
+    from pylbl_tpu import Dataset, open_dataset
+    from pylbl_tpu.database.db import Database
+    from pylbl_tpu.parallel import make_mesh
+    from pylbl_tpu.spectroscopy import Spectroscopy
+
+    db = Database(tmp_path / "st.db")
+    db.ingest_line_pack(gas_packs["H2O"])
+    t3 = np.asarray([288.99, 250.0, 227.74])
+    p3 = np.asarray([98388.0, 20000.0, 1032.0])
+    q3 = np.asarray([6.6e-3, 1e-4, 4.2e-6])
+    atm = Dataset(data_vars={
+        "p": (["layer"], p3, {"standard_name": "air_pressure",
+                              "units": "Pa"}),
+        "t": (["layer"], t3, {"standard_name": "air_temperature",
+                              "units": "K"}),
+        "q": (["layer"], q3,
+              {"standard_name": "mole_fraction_of_water_vapor_in_air",
+               "units": "mol mol-1"}),
+    })
+    mesh = make_mesh(batch=2, spec=4)
+    s = Spectroscopy(atm, GRID, db, mesh=mesh)
+    out_path = s.compute_absorption_streamed(tmp_path / "out.nc",
+                                             block_layers=2)
+    back = open_dataset(out_path)
+    dense = Spectroscopy(atm, GRID, db).compute_absorption(
+        output_format="gas")["H2O_absorption"].data
+    got = back["H2O_absorption"].data.sum(axis=1)
+    scale = max(np.abs(dense).max(), 1e-300)
+    rel = np.abs(got - dense) / np.maximum(np.abs(dense), scale * 1e-6)
+    assert rel.max() < 5e-4
