@@ -575,17 +575,30 @@ def shard_line_pack(pack, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
     e_wide = (b0 + 1 + cut_off + 1 - v0) * n_per_v
     center = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
 
+    los, his, ring_steps = _partition_lines(s_wide, e_wide, center, keep,
+                                            spec, local_n, mode)
+    blocks = _slice_blocks(arrays, los, his, spec)
+    info = {"ring_steps": ring_steps,
+            "block_len": int((his - los).max(initial=0)),
+            "local_points": local_n, "padded_points": local_n * spec,
+            "duplication": float((his - los).sum() / max(keep, 1)),
+            "mode": mode}
+    return blocks, arrays["q_table"], static, info
+
+
+def _partition_lines(s_wide, e_wide, center, keep, spec, local_n, mode):
+    """Shared shard-assignment logic (window coordinates may be per-gas or
+    flat/stacked — both are monotone in processing order)."""
     if keep == 0:
-        los = his = np.zeros(spec, np.int64)
-        ring_steps = 0
-    elif mode == "halo":
+        return np.zeros(spec, np.int64), np.zeros(spec, np.int64), 0
+    if mode == "halo":
         slab_lo = np.arange(spec, dtype=np.int64) * local_n
         # s_wide/e_wide are monotone in the (sorted) line positions, so
         # each shard's overlap set is one contiguous slice.
         los = np.searchsorted(e_wide, slab_lo, side="left")
         his = np.searchsorted(s_wide, slab_lo + local_n, side="left")
-        ring_steps = 0
-    elif mode == "ring":
+        return los, his, 0
+    if mode == "ring":
         owner = np.clip(center // local_n, 0, spec - 1)
         shards = np.arange(spec, dtype=np.int64)
         los = np.searchsorted(owner, shards, side="left")
@@ -594,27 +607,69 @@ def shard_line_pack(pack, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
         reach_r = np.clip(e_wide // local_n, 0, spec - 1) - owner
         ring_steps = int(min(max(reach_l.max(initial=0),
                                  reach_r.max(initial=0)), spec - 1))
-    elif mode == "balanced":
+        return los, his, ring_steps
+    if mode == "balanced":
         bounds = np.linspace(0, keep, spec + 1).round().astype(np.int64)
-        los, his = bounds[:-1], bounds[1:]
-        ring_steps = 0
-    else:
-        raise ValueError(f"unknown line-sharding mode '{mode}'")
+        return bounds[:-1], bounds[1:], 0
+    raise ValueError(f"unknown line-sharding mode '{mode}'")
 
+
+def _slice_blocks(arrays, los, his, spec):
     lengths = his - los
     block_len = int(lengths.max(initial=0))
     blocks = {}
-    for key in _LINE_KEYS:
+    for key in _LINE_KEYS + (("gas_idx", "flat_off")
+                             if "flat_off" in arrays else ()):
         src = arrays[key]
-        out = np.full((spec, block_len), _LINE_PAD[key], dtype=src.dtype)
+        out = np.full((spec, block_len), _LINE_PAD.get(key, 0),
+                      dtype=src.dtype)
         for s in range(spec):
             out[s, :lengths[s]] = src[los[s]:his[s]]
         blocks[key] = out
-    info = {"ring_steps": ring_steps, "block_len": block_len,
+    return blocks
+
+
+def shard_stacked_packs(packs, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
+                        mode="balanced"):
+    """Gas-stacked AND line-sharded blocks — the full config-5 layout.
+
+    Combines :func:`stack_device_packs` (every molecule in one launch,
+    flat [G * num_points] grid) with :func:`shard_line_pack`'s
+    decompositions over the flat grid: one launch computes all gases for
+    all layers with lines sharded over "spec" and layers over "batch".
+
+    Returns:
+        (blocks, q_table, static, info, names) — blocks additionally
+        carry per-line gas_idx/flat_off; info["flat_points"] is the flat
+        output size the sharded step decomposes.
+    """
+    arrays, host, static, names = stack_device_packs(packs, grid, cut_off)
+    flat_points = static["flat_points"]
+    num_points = static["num_points"]
+    n_per_v = static["n_per_v"]
+    v0 = static["v0"]
+    keep = static["num_lines"]
+    local_n = -(-flat_points // spec)
+
+    off = arrays["flat_off"].astype(np.int64)
+    b0 = np.floor(host["nu"]).astype(np.int64)
+    s_wide = off + np.clip((b0 - 1 - cut_off - v0) * n_per_v, 0,
+                           num_points - 1)
+    e_wide = off + np.clip((b0 + 1 + cut_off + 1 - v0) * n_per_v, 0,
+                           num_points - 1)
+    center = off + np.clip(
+        np.rint((host["nu"] - v0) * n_per_v).astype(np.int64), 0,
+        num_points - 1)
+
+    los, his, ring_steps = _partition_lines(s_wide, e_wide, center, keep,
+                                            spec, local_n, mode)
+    blocks = _slice_blocks(arrays, los, his, spec)
+    info = {"ring_steps": ring_steps,
+            "block_len": int((his - los).max(initial=0)),
             "local_points": local_n, "padded_points": local_n * spec,
-            "duplication": float(lengths.sum() / max(keep, 1)),
-            "mode": mode}
-    return blocks, arrays["q_table"], static, info
+            "duplication": float((his - los).sum() / max(keep, 1)),
+            "mode": mode, "flat_points": flat_points}
+    return blocks, arrays["q_table"], static, info, names
 
 
 def make_lines_sharded_step(static, info, mesh, weight_density=True,
@@ -636,7 +691,10 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
         when ``weight_density``.
     """
     spec = mesh.shape[SPEC_AXIS]
-    num_points = static["num_points"]
+    # Gas-stacked blocks (shard_stacked_packs) decompose the flat
+    # [G * num_points] grid; single-gas blocks the per-gas grid.
+    stacked = "flat_points" in info
+    num_points = info.get("flat_points", static["num_points"])
     local_n = info["local_points"]
     window = (2 * static["cut_off"] + 1) * static["n_per_v"] + 1
     core_w = min(128, (static["cut_off"] + 1) * static["n_per_v"])
@@ -696,8 +754,18 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
             k = jax.lax.psum_scatter(k, SPEC_AXIS, scatter_dimension=1,
                                      tiled=True)
         if weight_density:
-            n_density = pressure * vmr / (c.KB * temperature)
-            k = k * n_density[:, None]
+            if stacked:
+                # vmr is [B, G]; weight each flat point by its own gas's
+                # number density.
+                n_density = pressure[:, None] * vmr \
+                    / (c.KB * temperature[:, None])
+                pts = origin + jnp.arange(local_n)
+                gas_pt = jnp.minimum(pts // static["num_points"],
+                                     vmr.shape[1] - 1)
+                k = k * n_density[:, gas_pt]
+            else:
+                n_density = pressure * vmr / (c.KB * temperature)
+                k = k * n_density[:, None]
         return k
 
     fn = jax.shard_map(
@@ -711,6 +779,87 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
         return fn(blocks, q_table, temperature, pressure, vmr)
 
     return step
+
+
+def remove_stacked_pedestal(packs, grid, k, temperature, pressure,
+                            vmr_mat, cut_off=c.DEFAULT_CUT_OFF):
+    """Reference-exact pedestal removal applied per gas, layer-batched.
+
+    Args:
+        packs: dict name -> LinePack in gas order.
+        k: [B, G, num_points] float64 cross sections (modified copy
+            returned).
+        vmr_mat: [B, G] float64 mole fractions.
+
+    Returns:
+        [B, G, num_points] with each gas's pedestal subtracted
+        (reference spectra.c:66-78 semantics, models/lines/pedestal.py).
+    """
+    from ..models.lines.gas import internal_grid
+    from ..models.lines.pedestal import (apply_pedestal_batch,
+                                         compute_pedestals_batch)
+    from ..models.lines.physics import kernel_inputs, line_profile_params
+
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    k = np.array(k, np.float64, copy=True)
+    for g, (name, pack) in enumerate(packs.items()):
+        keep = pack.compat_break_filter(v0, vn, cut_off)
+        if keep == 0:
+            continue
+        params = line_profile_params(pack, temperature, pressure,
+                                     vmr_mat[:, g], keep=keep)
+        kin = kernel_inputs(params, v0, n_per_v, cut_off)
+        kin["nu_raw"] = pack.nu[:keep]
+        kin["nu_shift"] = params["nu_shift"]
+        ped = compute_pedestals_batch(k[:, g], kin, num_points, n_per_v,
+                                      cut_off)
+        k[:, g] = apply_pedestal_batch(k[:, g], ped, kin["s_idx"],
+                                       kin["e_idx"], num_points)
+    return k
+
+
+def make_multigas_sharded_pipeline(packs, grid, mesh,
+                                   cut_off=c.DEFAULT_CUT_OFF,
+                                   mode="balanced", remove_pedestal=False,
+                                   weight_density=False, chunk=512):
+    """All gases, one multi-device launch — the config-5 composition.
+
+    Gas stacking (one kernel launch for every molecule) composed with
+    line sharding over the mesh's "spec" axis and layer batching over
+    "batch"; optional host pedestal removal per gas.
+
+    Returns:
+        fn(temperature[B], pressure[B], vmr[B, G]) -> numpy float64
+        [B, G, num_points] cross sections [m2] (or absorption [m-1] when
+        ``weight_density``), gases ordered as ``list(packs)``.
+    """
+    spec = mesh.shape[SPEC_AXIS]
+    blocks, q_table, static, info, names = shard_stacked_packs(
+        packs, grid, spec, cut_off, mode)
+    step = make_lines_sharded_step(static, info, mesh,
+                                   weight_density=False, chunk=chunk)
+    blocks_dev = {k: jnp.asarray(v) for k, v in blocks.items()}
+    q_dev = jnp.asarray(q_table)
+    num_points = static["num_points"]
+    flat_points = static["flat_points"]
+    num_gases = static["num_gases"]
+
+    def fn(temperature, pressure, vmr):
+        t64 = np.atleast_1d(np.asarray(temperature, np.float64))
+        p64 = np.atleast_1d(np.asarray(pressure, np.float64))
+        x64 = np.atleast_2d(np.asarray(vmr, np.float64))
+        out = step(blocks_dev, q_dev, t64.astype(np.float32),
+                   p64.astype(np.float32), x64.astype(np.float32))
+        k = np.asarray(out, np.float64)[:, :flat_points].reshape(
+            t64.size, num_gases, num_points)
+        if remove_pedestal:
+            k = remove_stacked_pedestal(packs, grid, k, t64, p64, x64,
+                                        cut_off)
+        if weight_density:
+            k *= (p64[:, None] * x64 / (c.KB * t64[:, None]))[..., None]
+        return k
+
+    return fn
 
 
 def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,

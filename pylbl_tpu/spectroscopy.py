@@ -126,7 +126,8 @@ class Spectroscopy:
         Returns:
             dict name -> [B, num_points] float64 cross sections [m2].
         """
-        from .parallel.lines import make_sharded_pipeline
+        from .parallel.lines import (make_multigas_sharded_pipeline,
+                                     make_sharded_pipeline)
         from .parallel.mesh import BATCH_AXIS
 
         # shard_map needs the layer batch to divide the mesh batch axis;
@@ -141,22 +142,44 @@ class Spectroscopy:
                 [pressure, np.repeat(pressure[-1:], pad)])
             vmr_by_gas = {x: np.concatenate([v, np.repeat(v[-1:], pad)])
                           for x, v in vmr_by_gas.items()}
+
+        packs = {name: self.cache[name].gas.pack for name in vmr_by_gas
+                 if self.cache[name].gas is not None
+                 and hasattr(self.cache[name].gas, "pack")}
+        if not packs:
+            return {}
+        # Preferred: all gases stacked into one sharded launch.
+        key = ("stacked", float(self.grid[0]), float(self.grid[-1]),
+               self.grid.size, tuple(packs), bool(remove_pedestal))
+        fn = self._sharded_fns.get(key)
+        if fn is None and key not in self._sharded_fns:
+            try:
+                fn = make_multigas_sharded_pipeline(
+                    packs, self.grid, self.mesh, mode=self.sharding_mode,
+                    remove_pedestal=remove_pedestal, weight_density=False)
+            except ValueError:
+                fn = None  # unstackable (e.g. TIPS base mismatch).
+            self._sharded_fns[key] = fn
+        if fn is not None:
+            vmr_mat = np.stack([vmr_by_gas[n] for n in packs], axis=1)
+            k = fn(temperature, pressure, vmr_mat)
+            return {name: k[:num, g] for g, name in enumerate(packs)}
+
         out = {}
         for name, vmr in vmr_by_gas.items():
-            gas = self.cache[name].gas
-            if gas is None or not hasattr(gas, "pack"):
+            if name not in packs:
                 continue
-            key = (name, float(self.grid[0]), float(self.grid[-1]),
-                   self.grid.size, bool(remove_pedestal))
-            fn = self._sharded_fns.get(key)
-            if fn is None:
-                fn = make_sharded_pipeline(
-                    gas.pack, self.grid, self.mesh,
+            gkey = (name, float(self.grid[0]), float(self.grid[-1]),
+                    self.grid.size, bool(remove_pedestal))
+            gfn = self._sharded_fns.get(gkey)
+            if gfn is None:
+                gfn = make_sharded_pipeline(
+                    packs[name], self.grid, self.mesh,
                     mode=self.sharding_mode,
                     remove_pedestal=remove_pedestal,
                     weight_density=False)
-                self._sharded_fns[key] = fn
-            out[name] = fn(temperature, pressure, vmr)[:num]
+                self._sharded_fns[gkey] = gfn
+            out[name] = gfn(temperature, pressure, vmr)[:num]
         return out
 
     def _compute_lines_stacked(self, temperature, pressure, vmr_by_gas,
@@ -220,20 +243,9 @@ class Spectroscopy:
                           pressure.astype(np.float32),
                           vmr_mat.astype(np.float32)), np.float64)
         if remove_pedestal:
-            v0, vn, n_per_v, num_points = internal_grid(self.grid)
-            for g, (name, pack) in enumerate(packs.items()):
-                keep = pack.compat_break_filter(v0, vn, DEFAULT_CUT_OFF)
-                if keep == 0:
-                    continue
-                params = line_profile_params(pack, temperature, pressure,
-                                             vmr_mat[:, g], keep=keep)
-                kin = kernel_inputs(params, v0, n_per_v, DEFAULT_CUT_OFF)
-                kin["nu_raw"] = pack.nu[:keep]
-                kin["nu_shift"] = params["nu_shift"]
-                ped = compute_pedestals_batch(k[:, g], kin, num_points,
-                                              n_per_v, DEFAULT_CUT_OFF)
-                k[:, g] = apply_pedestal_batch(k[:, g], ped, kin["s_idx"],
-                                               kin["e_idx"], num_points)
+            from .parallel.lines import remove_stacked_pedestal
+            k = remove_stacked_pedestal(packs, self.grid, k, temperature,
+                                        pressure, vmr_mat)
         return {name: k[:, g] for g, name in enumerate(packs)}
 
     def compute_absorption(self, output_format="all", remove_pedestal=None):

@@ -218,3 +218,25 @@ def test_spectroscopy_streamed_with_mesh(gas_packs, tmp_path):
     scale = max(np.abs(dense).max(), 1e-300)
     rel = np.abs(got - dense) / np.maximum(np.abs(dense), scale * 1e-6)
     assert rel.max() < 5e-4
+
+
+@pytest.mark.parametrize("mode", ["balanced", "ring"])
+def test_multigas_sharded_pipeline(gas_packs, mode):
+    """Gas stacking composed with line sharding (the config-5 layout) must
+    match the per-gas host engine, pedestal included."""
+    from pylbl_tpu.parallel import (make_mesh,
+                                    make_multigas_sharded_pipeline)
+
+    mesh = make_mesh(batch=2, spec=4)
+    fn = make_multigas_sharded_pipeline(gas_packs, GRID, mesh, mode=mode,
+                                        remove_pedestal=True)
+    got = fn(T, P, VMR)
+    for g, (name, pack) in enumerate(gas_packs.items()):
+        gas = Gas(pack, name, dtype=np.float64, backend="xla")
+        for i in range(T.size):
+            want = gas.absorption_coefficient(T[i], P[i], VMR[i, g], GRID,
+                                              remove_pedestal=True)
+            scale = max(want.max(), 1e-300)
+            rel = np.abs(got[i, g] - want) / np.maximum(np.abs(want),
+                                                        scale * 1e-6)
+            assert rel.max() < 5e-4, f"{name} layer {i}: {rel.max()}"
