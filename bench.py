@@ -125,11 +125,13 @@ def reference_rate(grid, num_lines=20000):
             band_centers=(150.0, 1600.0, 3700.0, 500.0))
         v0, vn, n_per_v, _ = internal_grid(grid)
         keep = pack.compat_break_filter(v0, vn, CUT_OFF)
-        t0 = time.perf_counter()
-        oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
-                          n_per_v, cut_off=CUT_OFF)
-        dt = time.perf_counter() - t0
-        return window_evals(keep, n_per_v) / dt
+        best = np.inf  # min of 3: robust to host CPU contention.
+        for _ in range(3):
+            t0 = time.perf_counter()
+            oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
+                              n_per_v, cut_off=CUT_OFF)
+            best = min(best, time.perf_counter() - t0)
+        return window_evals(keep, n_per_v) / best
     except Exception:
         return None
 

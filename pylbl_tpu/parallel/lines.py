@@ -272,7 +272,10 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     Returns:
         fn(temperature[B], pressure[B], vmr[B, G]) -> jnp float32
         [B, G, num_points] absorption cross sections [m2] on the internal
-        grid, gases ordered as ``list(packs)``.
+        grid, gases ordered as ``list(packs)``.  ``fn.total(t, p, vmr)``
+        returns the density-weighted gas sum [B, num_points] in m-1,
+        reduced on device (the output_format="total" fast path: G x less
+        host transfer).
     """
     from ..ops import lineshape_pallas as lp
     from ..ops.lineshape import core_halfwidths
@@ -291,6 +294,9 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         def empty(t, p, x):
             batch = jnp.atleast_1d(t).shape[0]
             return jnp.zeros((batch, num_gases, num_points), jnp.float32)
+        empty.inner = empty
+        empty.total = lambda t, p, x: jnp.zeros(
+            (jnp.atleast_1d(t).shape[0], num_points), jnp.float32)
         return empty
 
     # Flat windows for the CSR, from unshifted positions +/-1 wavenumber
@@ -321,6 +327,15 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
             k = jax.vmap(one_layer)(temperature, pressure, vmr)
             return k.reshape(k.shape[0], num_gases, num_points)
 
+        @jax.jit
+        def total_xla(temperature, pressure, vmr):
+            k = fn_xla(temperature, pressure, vmr)
+            n_density = pressure[:, None] * vmr / (
+                jnp.asarray(c.KB, k.dtype) * temperature[:, None])
+            return jnp.einsum("bgn,bg->bn", k, n_density)
+
+        fn_xla.inner = fn_xla
+        fn_xla.total = total_xla
         return fn_xla
 
     w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points, tile,
@@ -376,7 +391,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
             interpret=interpret)
         return k.reshape(batch, num_gases, num_points)
 
-    def fn(temperature, pressure, vmr):
+    def _check_envelope(temperature, pressure):
         t_check = np.asarray(temperature)
         p_check = np.asarray(pressure) * c.PA_TO_ATM
         if t_check.size and float(t_check.max()) > t_max:
@@ -389,9 +404,24 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                 f"pressure {float(p_check.max()):.2f} atm exceeds the "
                 f"kernel envelope p_max_atm={p_max_atm}; rebuild with a "
                 "larger p_max_atm")
+
+    @jax.jit
+    def total_jit(temperature, pressure, vmr):
+        k = fn_jit(temperature, pressure, vmr)       # [B, G, n]
+        n_density = pressure[:, None] * vmr / (
+            jnp.float32(c.KB) * temperature[:, None])
+        return jnp.einsum("bgn,bg->bn", k, n_density)
+
+    def fn(temperature, pressure, vmr):
+        _check_envelope(temperature, pressure)
         return fn_jit(temperature, pressure, vmr)
 
+    def total(temperature, pressure, vmr):
+        _check_envelope(temperature, pressure)
+        return total_jit(temperature, pressure, vmr)
+
     fn.inner = fn_jit  # jit-composable (benchmark loop chaining).
+    fn.total = total
     return fn
 
 

@@ -240,3 +240,21 @@ def test_multigas_sharded_pipeline(gas_packs, mode):
             rel = np.abs(got[i, g] - want) / np.maximum(np.abs(want),
                                                         scale * 1e-6)
             assert rel.max() < 5e-4, f"{name} layer {i}: {rel.max()}"
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_multigas_total_on_device(gas_packs, backend):
+    """fn.total reduces the density-weighted gas sum on device."""
+    from pylbl_tpu.spectroscopy import number_density
+
+    fn = make_multigas_batched_fn(gas_packs, GRID, backend=backend,
+                                  tile=256, chunk=128, interpret=True)
+    per_gas = np.asarray(fn(T.astype(np.float32), P.astype(np.float32),
+                            VMR.astype(np.float32)), np.float64)
+    want = np.einsum("bgn,bg->bn", per_gas,
+                     number_density(T[:, None], P[:, None], VMR))
+    got = np.asarray(fn.total(T.astype(np.float32), P.astype(np.float32),
+                              VMR.astype(np.float32)), np.float64)
+    scale = max(np.abs(want).max(), 1e-300)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), scale * 1e-6)
+    assert rel.max() < 1e-4
