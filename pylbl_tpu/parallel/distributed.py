@@ -36,8 +36,10 @@ def initialize(coordinator_address=None, num_processes=None,
         True if the distributed runtime was (or already is) initialized,
         False for the single-process no-op path.
     """
-    if jax.process_count() > 1:
-        return True
+    # Order matters: probing jax.process_count()/jax.devices() would
+    # itself initialize the XLA backend, after which distributed
+    # initialization is forbidden — so check the distributed service
+    # state directly.
     from jax._src import distributed as _distributed
     if _distributed.is_initialized():
         return True
