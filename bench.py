@@ -200,8 +200,27 @@ def batched_rate(pack, grid, num_layers=4):
     t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
     p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
     x = np.full(num_layers, VMR, np.float32)
-    return chained_rate(fn.inner, (t, p, x), num_layers * n,
-                        num_layers * window_evals(keep, n_per_v))
+    result = chained_rate(fn.inner, (t, p, x), num_layers * n,
+                          num_layers * window_evals(keep, n_per_v))
+    # Parity of the batched f32 device-physics path vs the compiled
+    # reference C oracle on a 20k-line subsample (quantified per
+    # BASELINE), across warm and cold layers.
+    import oracle
+    if oracle.available():
+        sub = synthetic_line_pack(num_lines=20000, nu_min=0.5,
+                                  nu_max=5100.0, seed=1,
+                                  band_centers=(150.0, 1600.0, 3700.0,
+                                                500.0))
+        sub_fn = make_batched_tpu_fn(sub, grid)
+        got = np.asarray(sub_fn(t, p, x), np.float64)
+        errs = []
+        for i in range(num_layers):
+            want = oracle.absorption(sub, float(t[i]), float(p[i]),
+                                     float(x[i]), v0, vn, n_per_v,
+                                     cut_off=CUT_OFF)
+            errs.append(np.abs(got[i] - want).max() / want.max())
+        result["max_rel_err_vs_oracle"] = float(np.max(errs))
+    return result
 
 
 def multigas_rate(grid, num_layers=4):

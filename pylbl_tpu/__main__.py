@@ -57,13 +57,24 @@ def cmd_compute(args):
     database = Database(args.database,
                         pack_cache_dir=args.pack_cache_dir)
     grid = _parse_grid(args.grid)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        from .parallel.distributed import initialize
+        initialize()  # no-op single-process; pod entry point otherwise.
+        batch, spec = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(batch=batch, spec=spec)
     spectroscopy = Spectroscopy(
         atmosphere, grid, database,
         lines_backend=args.lines_backend,
         continua_backend=args.continua_backend,
-        cross_sections_backend=args.cross_sections_backend)
-    result = spectroscopy.compute_absorption(output_format=args.format)
-    result.to_netcdf(args.output)
+        cross_sections_backend=args.cross_sections_backend,
+        mesh=mesh, sharding_mode=args.sharding_mode)
+    if args.streamed:
+        spectroscopy.compute_absorption_streamed(args.output)
+    else:
+        result = spectroscopy.compute_absorption(output_format=args.format)
+        result.to_netcdf(args.output)
     if args.metrics:
         print(json.dumps(metrics.snapshot(), indent=2))
     print(f"wrote {args.output}")
@@ -112,6 +123,14 @@ def main(argv=None):
     compute.add_argument("--continua-backend", default="mt_ckd")
     compute.add_argument("--cross-sections-backend", default="arts_crossfit")
     compute.add_argument("--pack-cache-dir", default=None)
+    compute.add_argument("--mesh", default=None,
+                         help="run lines multi-device on a BATCHxSPEC "
+                              "mesh, e.g. 2x4")
+    compute.add_argument("--sharding-mode", default="balanced",
+                         choices=["balanced", "halo", "ring"])
+    compute.add_argument("--streamed", action="store_true",
+                         help="stream layer blocks to a chunked, "
+                              "resumable netCDF (RFMIP-scale outputs)")
     compute.add_argument("--metrics", action="store_true",
                          help="print the metrics snapshot after computing")
 
