@@ -54,7 +54,7 @@ TEMPERATURE = 288.99  # surface layer of the canonical test column.
 PRESSURE = 98388.0
 VMR = 6.637074e-03
 CUT_OFF = 25
-DEADLINE_S = 480.0  # extras stop starting after this much wall time.
+DEADLINE_S = 600.0  # extras stop starting after this much wall time.
 _T0 = time.perf_counter()
 
 
@@ -192,14 +192,17 @@ def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
 
 
 def batched_rate(pack, grid, num_layers=4):
-    from pylbl_tpu.parallel.lines import make_batched_tpu_fn
+    from pylbl_tpu.parallel.lines import derive_envelope, make_batched_tpu_fn
 
     v0, vn, n_per_v, n = internal_grid(grid)
     keep = pack.compat_break_filter(v0, vn, CUT_OFF)
-    fn = make_batched_tpu_fn(pack, grid)
     t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
     p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
     x = np.full(num_layers, VMR, np.float32)
+    # Atmosphere-derived kernel envelope, as the production Spectroscopy
+    # path uses (shrinks the layer-independent core-instance windows).
+    t_max, p_max_atm = derive_envelope(t, p)
+    fn = make_batched_tpu_fn(pack, grid, t_max=t_max, p_max_atm=p_max_atm)
     result = chained_rate(fn.inner, (t, p, x), num_layers * n,
                           num_layers * window_evals(keep, n_per_v))
     # Parity of the batched f32 device-physics path vs the compiled
@@ -211,7 +214,8 @@ def batched_rate(pack, grid, num_layers=4):
                                   nu_max=5100.0, seed=1,
                                   band_centers=(150.0, 1600.0, 3700.0,
                                                 500.0))
-        sub_fn = make_batched_tpu_fn(sub, grid)
+        sub_fn = make_batched_tpu_fn(sub, grid, t_max=t_max,
+                                     p_max_atm=p_max_atm)
         got = np.asarray(sub_fn(t, p, x), np.float64)
         errs = []
         for i in range(num_layers):
@@ -235,10 +239,14 @@ def multigas_rate(grid, num_layers=4):
             name, num_lines=300000 if name == "H2O" else 20000,
             nu_min=0.5, nu_max=5100.0, seed=g + 1,
             band_centers=(150.0 + 400 * g, 1600.0, 3700.0))
+    from pylbl_tpu.parallel.lines import derive_envelope
+
     arrays, host, static, _ = stack_device_packs(packs, grid)
-    fn = make_multigas_batched_fn(packs, grid)
     t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
     p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
+    t_max, p_max_atm = derive_envelope(t, p)
+    fn = make_multigas_batched_fn(packs, grid, t_max=t_max,
+                                  p_max_atm=p_max_atm)
     x = np.full((num_layers, len(names)), 1e-4, np.float32)
     result = chained_rate(
         fn.inner, (t, p, x),
@@ -250,39 +258,60 @@ def multigas_rate(grid, num_layers=4):
     return result
 
 
-def scaling_cpu_mesh():
-    """Runs tools/bench_scaling.py in a CPU subprocess (8 virtual devices)
-    and returns its JSON report."""
+def start_scaling_cpu_mesh():
+    """Launches tools/bench_scaling.py in a CPU subprocess (8 virtual
+    devices).  Started up front: it needs no TPU, so it runs concurrently
+    with the tunnel-bound TPU stages."""
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-    proc = subprocess.run(
+    return subprocess.Popen(
         [sys.executable, str(REPO / "tools" / "bench_scaling.py")],
-        capture_output=True, text=True, timeout=560, env=env,
-        cwd=str(REPO))
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=str(REPO))
+
+
+def collect_scaling(proc):
+    budget = max(30.0, DEADLINE_S + 120.0 - (time.perf_counter() - _T0))
+    try:
+        out, _ = proc.communicate(timeout=budget)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        return "skipped (deadline)"
     if proc.returncode != 0:
         return None
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def main():
+    timings = {}
+    try:
+        scaling_proc = start_scaling_cpu_mesh()
+    except Exception:
+        scaling_proc = None
     pack, grid = build_workload()
     rate, points_rate, max_k = tpu_rate(pack, grid)
     assert np.isfinite(max_k) and max_k > 0
+    timings["headline_s"] = round(time.perf_counter() - _T0, 1)
     ref = reference_rate(grid)
     vs_baseline = rate / ref if ref else 1.0
 
     extra = {"single_layer_points_per_s": round(points_rate, 1)}
     for key, fn in (("parity", lambda: parity_vs_oracle(grid)),
                     ("batched_4layer", lambda: batched_rate(pack, grid)),
-                    ("multigas_7gas", lambda: multigas_rate(grid)),
-                    ("scaling_cpu_mesh", scaling_cpu_mesh)):
+                    ("multigas_7gas", lambda: multigas_rate(grid))):
         if over_deadline():
             extra[key] = "skipped (deadline)"
             continue
+        t0 = time.perf_counter()
         try:
             extra[key] = fn()
         except Exception as exc:  # never lose the headline
             extra[key] = f"error: {type(exc).__name__}: {exc}"
+        timings[key + "_s"] = round(time.perf_counter() - t0, 1)
+    if scaling_proc is not None:
+        extra["scaling_cpu_mesh"] = collect_scaling(scaling_proc)
+    extra["stage_wall_s"] = timings
 
     print(json.dumps({
         "metric": "voigt_line_point_evals_per_s",

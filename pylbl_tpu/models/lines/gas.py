@@ -142,7 +142,8 @@ class Gas:
     def absorption_coefficient_batch(self, temperature, pressure,
                                      volume_mixing_ratio, grid,
                                      remove_pedestal=False,
-                                     cut_off=DEFAULT_CUT_OFF):
+                                     cut_off=DEFAULT_CUT_OFF,
+                                     envelope=None):
         """Layer-batched absorption cross sections.
 
         Same semantics as :meth:`absorption_coefficient` applied per layer
@@ -152,6 +153,10 @@ class Gas:
 
         Args:
             temperature / pressure / volume_mixing_ratio: [B] arrays.
+            envelope: optional (t_max [K], p_max_atm [atm]) kernel
+                envelope (parallel.lines.derive_envelope); tighter
+                envelopes shrink the layer-independent core-instance
+                windows.  Default: the pipeline's wide terrestrial bounds.
 
         Returns:
             numpy float64 [B, (vn - v0) * n_per_v].
@@ -178,10 +183,14 @@ class Gas:
             # Fused device pipeline: line constants live on device; only
             # the [B] layer conditions transfer per call.
             from ...parallel.lines import make_batched_tpu_fn
-            key = (float(grid[0]), float(grid[-1]), len(grid), cut_off)
+            key = (float(grid[0]), float(grid[-1]), len(grid), cut_off,
+                   envelope)
             fn = getattr(self, "_batched_fns", {}).get(key)
             if fn is None:
-                fn = make_batched_tpu_fn(self.pack, grid, cut_off=cut_off)
+                kwargs = {} if envelope is None else \
+                    {"t_max": envelope[0], "p_max_atm": envelope[1]}
+                fn = make_batched_tpu_fn(self.pack, grid, cut_off=cut_off,
+                                         **kwargs)
                 if not hasattr(self, "_batched_fns"):
                     self._batched_fns = {}
                 self._batched_fns[key] = fn

@@ -251,6 +251,38 @@ def stack_device_packs(packs, grid, cut_off=c.DEFAULT_CUT_OFF):
     return arrays, host, static, names
 
 
+def derive_envelope(temperature, pressure, t_quantum=5.0,
+                    p_quantum_atm=0.25):
+    """Smallest quantized (t_max, p_max_atm) kernel envelope covering the
+    given conditions.
+
+    The batched pipelines size their layer-independent rows-core instance
+    windows for the envelope's hottest/highest-pressure layer
+    (make_batched_tpu_fn / make_multigas_batched_fn); the default envelope
+    (350 K, 5 atm) carries ~29% more core instances than a terrestrial
+    column needs (docs/performance.md "known headroom").  Deriving the
+    envelope from the atmosphere recovers that work.  Quantizing up (next
+    5 K / 0.25 atm) keeps near-identical atmospheres on shared compiled
+    pipelines and guarantees max(T) <= t_max, max(p) <= p_max_atm so the
+    runtime envelope guard can never fire.
+
+    Args:
+        temperature: temperatures [K], any shape.
+        pressure: pressures [Pa], any shape.
+
+    Returns:
+        (t_max [K], p_max_atm [atm]) floats.
+    """
+    temperature = np.asarray(temperature, np.float64)
+    pressure = np.asarray(pressure, np.float64)
+    if temperature.size == 0 or pressure.size == 0:
+        return 350.0, 5.0
+    t_max = t_quantum * np.ceil(float(temperature.max()) / t_quantum)
+    p_atm = float(pressure.max()) * c.PA_TO_ATM
+    p_max_atm = p_quantum_atm * max(np.ceil(p_atm / p_quantum_atm), 1.0)
+    return float(t_max), float(p_max_atm)
+
+
 def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                              tile=None, chunk=None, t_max=350.0,
                              p_max_atm=5.0, backend="pallas",
@@ -426,7 +458,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
 
 
 def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
-                        tile=None, chunk=None, t_max=350.0, p_max_atm=5.0):
+                        tile=None, chunk=None, t_max=350.0, p_max_atm=5.0,
+                        interpret=False):
     """Builds the fused single-chip batched pipeline for one (gas, grid).
 
     Line constants transfer to the device once (~14 MB for a 300k-line
@@ -527,7 +560,8 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         return lp._pallas_wings_rows_batched(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
-            groups, g_start, g_n, num_points, tile, chunk, lp.ROWS_CHUNK)
+            groups, g_start, g_n, num_points, tile, chunk, lp.ROWS_CHUNK,
+            interpret=interpret)
 
     def fn(temperature, pressure, vmr):
         # The core-instance windows were sized for (t_max, p_max_atm);

@@ -100,6 +100,14 @@ class Spectroscopy:
         self.mesh = mesh
         self.sharding_mode = sharding_mode
         self._sharded_fns = {}
+        # Tight kernel envelope from this atmosphere's actual conditions:
+        # shrinks the batched pipelines' layer-independent core-instance
+        # windows vs the wide default (350 K, 5 atm) and lets atmospheres
+        # outside the default bounds compute instead of raising.
+        from .parallel.lines import derive_envelope
+        self._envelope = derive_envelope(
+            np.asarray(self.atmosphere.temperature.data),
+            np.asarray(self.atmosphere.pressure.data))
 
         Output = namedtuple("Output",
                             ["dims", "dim_sizes", "mechanisms", "units"])
@@ -114,6 +122,18 @@ class Spectroscopy:
     def list_molecules(self):
         """Molecules available in the spectral database."""
         return self.lines_database.molecules()
+
+    def _batch_kwargs(self, gas):
+        """Extra kwargs for a lines engine's batched entry point: the
+        atmosphere-derived kernel envelope when the engine accepts one
+        (third-party plugin engines may not)."""
+        import inspect
+        try:
+            params = inspect.signature(
+                gas.absorption_coefficient_batch).parameters
+        except (TypeError, ValueError):
+            return {}
+        return {"envelope": self._envelope} if "envelope" in params else {}
 
     def _compute_lines_sharded(self, temperature, pressure, vmr_by_gas,
                                remove_pedestal):
@@ -225,12 +245,14 @@ class Spectroscopy:
         if not packs:
             return {}
         key = (float(self.grid[0]), float(self.grid[-1]), self.grid.size,
-               tuple(packs), backend, interpret)
+               tuple(packs), backend, interpret, self._envelope)
         fn = self._multigas_fns.get(key)
         if fn is None:
             try:
                 fn = make_multigas_batched_fn(
                     packs, self.grid, backend=backend or "pallas",
+                    t_max=self._envelope[0],
+                    p_max_atm=self._envelope[1],
                     interpret=interpret)
             except ValueError:
                 return {}
@@ -305,7 +327,8 @@ class Spectroscopy:
                     hasattr(data.gas, "absorption_coefficient_batch"):
                 lines_batch = data.gas.absorption_coefficient_batch(
                     temperature, pressure, fraction, self.grid,
-                    remove_pedestal=remove_pedestal)
+                    remove_pedestal=remove_pedestal,
+                    **self._batch_kwargs(data.gas))
 
             # Continua and cross sections evaluate layer-batched (the
             # band formulas and fit/clip/interp are vectorized over [B];
@@ -405,7 +428,8 @@ class Spectroscopy:
                     if lines is None and data.gas is not None:
                         lines = data.gas.absorption_coefficient_batch(
                             t_blk, p_blk, vmr_blk[name], self.grid,
-                            remove_pedestal=remove_pedestal) \
+                            remove_pedestal=remove_pedestal,
+                            **self._batch_kwargs(data.gas)) \
                             if hasattr(data.gas,
                                        "absorption_coefficient_batch") \
                             else np.stack([

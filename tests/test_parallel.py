@@ -96,6 +96,46 @@ def test_batched_fn_envelope_guard():
            np.asarray([1e-3], np.float32))
 
 
+def test_derive_envelope():
+    from pylbl_tpu.parallel.lines import derive_envelope
+
+    # Canonical 4-layer column: quantized up to the next 5 K / 0.25 atm.
+    t_max, p_max = derive_envelope(
+        np.asarray([288.99, 269.01, 227.74, 203.37]),
+        np.asarray([98388.0, 117.0, 1032.0, 11419.0]))
+    assert t_max == 290.0
+    assert p_max == 1.0
+    # Conditions above the old fixed defaults now produce a larger
+    # envelope instead of a runtime guard failure downstream.
+    t_max, p_max = derive_envelope(np.asarray([400.0]),
+                                   np.asarray([8e5]))
+    assert t_max == 400.0 and p_max >= 8e5 * 9.86923e-6
+    # Empty conditions fall back to the wide terrestrial defaults.
+    assert derive_envelope(np.asarray([]), np.asarray([])) == (350.0, 5.0)
+
+
+def test_batched_fn_tight_envelope_matches_default(workload):
+    """A tight atmosphere-derived envelope only shrinks the
+    layer-independent core-instance windows; results must be identical to
+    the wide default envelope's (coverage stays exact inside the
+    envelope)."""
+    from pylbl_tpu.parallel.lines import derive_envelope, make_batched_tpu_fn
+
+    pack, grid = workload
+    temperature = np.asarray([288.99, 269.01, 227.74, 203.37], np.float32)
+    pressure = np.asarray([98388.0, 117.0, 1032.0, 11419.0], np.float32)
+    vmr = np.full(4, 6.6e-3, np.float32)
+    t_max, p_max = derive_envelope(temperature, pressure)
+    outs = []
+    for kwargs in ({}, {"t_max": t_max, "p_max_atm": p_max}):
+        fn = make_batched_tpu_fn(pack, grid, tile=256, chunk=128,
+                                 interpret=True, **kwargs)
+        outs.append(np.asarray(fn(temperature, pressure, vmr), np.float64))
+    scale = max(outs[0].max(), 1e-300)
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-6,
+                               atol=scale * 1e-7)
+
+
 @pytest.mark.parametrize("mode,batch,spec", [
     ("halo", 2, 4), ("halo", 1, 8), ("ring", 2, 4), ("ring", 1, 8),
     ("ring", 4, 2), ("balanced", 2, 4), ("balanced", 1, 8)])
