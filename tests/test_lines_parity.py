@@ -93,3 +93,40 @@ def test_coarse_grid_resolution():
     ours, theirs = run_both(pack, grid, True)
     np.testing.assert_allclose(ours, theirs, rtol=1e-8,
                                atol=theirs.max() * 1e-12)
+
+
+@pytest.mark.parametrize("cut_off", [5, 60])
+def test_nondefault_cutoff(cut_off):
+    """Window indices, break semantics and pedestal endpoints all scale
+    with cut_off (reference spectra.c:48-62, absorption.c:80-83); parity
+    must hold away from the default 25 cm-1."""
+    pack = synthetic_line_pack(num_lines=600, nu_min=0.5, nu_max=450.0,
+                               seed=37)
+    grid = np.arange(20.0, 400.0, 0.25)
+    for ped in (False, True):
+        ours, theirs = run_both(pack, grid, ped, cut_off=cut_off)
+        np.testing.assert_allclose(
+            ours, theirs, rtol=1e-8, atol=max(theirs.max(), 1e-300) * 1e-12)
+
+
+def test_fine_grid_resolution():
+    """n_per_v = 25 (0.04 cm-1): resolutions finer than the quickstart's."""
+    pack = synthetic_line_pack(num_lines=400, nu_min=0.5, nu_max=260.0,
+                               seed=41)
+    grid = np.arange(10.0, 200.0, 0.04)
+    ours, theirs = run_both(pack, grid, True)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8,
+                               atol=theirs.max() * 1e-12)
+
+
+def test_hot_high_pressure_conditions():
+    """Outside the terrestrial envelope (340 K, ~3 atm): stresses the
+    T-scaling, pressure broadening/shift and TIPS interpolation ranges."""
+    pack = synthetic_line_pack(num_lines=800, nu_min=0.5, nu_max=900.0,
+                               seed=43)
+    grid = np.arange(5.0, 800.0, 0.2)
+    hot = dict(temperature=340.0, pressure=3.0e5, vmr=0.02)
+    for ped in (False, True):
+        ours, theirs = run_both(pack, grid, ped, conditions=hot)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-8,
+                                   atol=theirs.max() * 1e-12)
