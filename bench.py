@@ -285,18 +285,23 @@ def collect_scaling(proc):
 
 def main():
     timings = {}
+    pack, grid = build_workload()
+    # Reference C single-core rate FIRST, on an uncontended host (the
+    # CPU-mesh scaling subprocess below would otherwise compete for the
+    # 2 vCPUs and skew the baseline).
+    ref = reference_rate(grid)
+    timings["reference_c_s"] = round(time.perf_counter() - _T0, 1)
     try:
         scaling_proc = start_scaling_cpu_mesh()
     except Exception:
         scaling_proc = None
-    pack, grid = build_workload()
     rate, points_rate, max_k = tpu_rate(pack, grid)
     assert np.isfinite(max_k) and max_k > 0
     timings["headline_s"] = round(time.perf_counter() - _T0, 1)
-    ref = reference_rate(grid)
     vs_baseline = rate / ref if ref else 1.0
 
-    extra = {"single_layer_points_per_s": round(points_rate, 1)}
+    extra = {"single_layer_points_per_s": round(points_rate, 1),
+             "reference_c_evals_per_s": round(ref, 1) if ref else None}
     for key, fn in (("parity", lambda: parity_vs_oracle(grid)),
                     ("batched_4layer", lambda: batched_rate(pack, grid)),
                     ("multigas_7gas", lambda: multigas_rate(grid))):
