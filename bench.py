@@ -32,9 +32,11 @@ Prints exactly one JSON line:
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
+from contextlib import contextmanager
 from pathlib import Path
 
 import numpy as np
@@ -60,6 +62,27 @@ _T0 = time.perf_counter()
 
 def over_deadline():
     return time.perf_counter() - _T0 > DEADLINE_S
+
+
+class StageTimeout(Exception):
+    pass
+
+
+@contextmanager
+def stage_alarm(seconds):
+    """Hard per-stage wall limit: a slow remote compile inside one extra
+    must not run the whole process into the driver's kill window and lose
+    the headline JSON."""
+    def handler(signum, frame):
+        raise StageTimeout()
+
+    previous = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(int(seconds), 1))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, previous)
 
 
 def build_workload(num_lines=300000):
@@ -309,8 +332,12 @@ def main():
             extra[key] = "skipped (deadline)"
             continue
         t0 = time.perf_counter()
+        budget = DEADLINE_S + 60.0 - (time.perf_counter() - _T0)
         try:
-            extra[key] = fn()
+            with stage_alarm(budget):
+                extra[key] = fn()
+        except StageTimeout:
+            extra[key] = "skipped (stage timeout)"
         except Exception as exc:  # never lose the headline
             extra[key] = f"error: {type(exc).__name__}: {exc}"
         timings[key + "_s"] = round(time.perf_counter() - t0, 1)
