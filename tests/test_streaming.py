@@ -36,6 +36,28 @@ def test_streamed_matches_in_memory(tmp_path, atmosphere_dataset,
     np.testing.assert_array_equal(back["wavenumber"].data, coarse_grid)
 
 
+def test_streamed_with_mesh_matches_host(tmp_path, atmosphere_dataset,
+                                         coarse_grid):
+    """compute_absorption_streamed(mesh=...) runs each layer block through
+    the sharded multi-device lines path and must match the host result."""
+    from pylbl_tpu.parallel import make_mesh
+
+    db = Database(tmp_path / "m.db")
+    db.ingest_line_pack(synthetic_line_pack(num_lines=200, seed=21))
+    host = Spectroscopy(atmosphere_dataset, coarse_grid, db)
+    full = host.compute_absorption(output_format="all")
+    meshed = Spectroscopy(atmosphere_dataset, coarse_grid, db,
+                          mesh=make_mesh(batch=2, spec=4))
+    out = meshed.compute_absorption_streamed(tmp_path / "mesh.nc",
+                                             block_layers=3)
+    back = open_dataset(out)
+    want = full.data_vars["H2O_absorption"].data
+    got = back["H2O_absorption"].data
+    scale = max(want.max(), 1e-300)
+    # f32 sharded device physics vs f64 host physics.
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=scale * 5e-4)
+
+
 def test_spectroscopy_batched_lines_path(tmp_path, atmosphere_dataset,
                                          coarse_grid):
     """The multi-layer lines branch goes through the batch API and matches

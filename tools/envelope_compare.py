@@ -69,16 +69,16 @@ def main():
 
     report = {"num_lines": num_lines, "num_layers": num_layers,
               "derived_envelope": [t_max, p_max_atm]}
-    outs = {}
+    # Result parity between the two envelopes is pinned by
+    # tests/test_parallel.py::test_batched_fn_tight_envelope_matches_default
+    # (interpret mode); here only wall time is measured, one compile per
+    # variant (remote compiles through the tunnel are minutes each).
     for name, kwargs in (("default_350K_5atm", {}),
                          ("derived", {"t_max": t_max,
                                       "p_max_atm": p_max_atm})):
         fn = make_batched_tpu_fn(pack, grid, **kwargs)
         per_call = chained_rate(fn.inner, t, p, x, reps)
-        outs[name] = np.asarray(fn(t, p, x), np.float64)
         report[name] = {"wall_s_per_call": round(per_call, 5)}
-    err = np.abs(outs["derived"] - outs["default_350K_5atm"]).max()
-    report["max_abs_diff"] = float(err)
     report["speedup"] = round(
         report["default_350K_5atm"]["wall_s_per_call"]
         / report["derived"]["wall_s_per_call"], 4)
