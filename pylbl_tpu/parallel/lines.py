@@ -68,6 +68,26 @@ def device_line_pack(pack, grid, keep=None, cut_off=c.DEFAULT_CUT_OFF):
                          pack.q_table.shape[0] - 1).astype(np.int32),
         "q_table": pack.q_table.astype(np.float32),
     }
+    # Layer-independent physics, hoisted out of the per-layer kernel-array
+    # assembly (line_kernel_arrays): the reference recomputes these per
+    # call (spectra.c:33-45), but they depend only on line constants.
+    #   sw_pre = sw * 1e-4 * Q(296) / (1 - exp(-c2 nu0 / 296))
+    #   repwid_base = sqrt(ln 2) / ((nu0 / c) * sqrt(r2 / mass))
+    # so per layer: sw = sw_pre * sb(T) * (1 - g(T)) / Q(T) and
+    # repwid = repwid_base / sqrt(T).
+    q32 = arrays["q_table"]
+    t0q = int(float(pack.q_temperature[0]))  # matches _q_interp's int(q_t0)
+    i296 = int(np.clip(296 - t0q, 0, q32.shape[1] - 2))
+    frac296 = np.float32(296.0 - (i296 + t0q))
+    q_slots296 = q32[:, i296] + (q32[:, i296 + 1] - q32[:, i296]) * frac296
+    q_ref = q_slots296[arrays["q_row"]].astype(np.float64)
+    gref = np.exp(-c.C2 * pack.nu[sl] / 296.0)
+    arrays["sw_pre"] = (pack.sw[sl] * 1.0e-4 * q_ref
+                        / (1.0 - gref)).astype(np.float32)
+    alpha_base = (pack.nu[sl] / c.VLIGHT) * np.sqrt(c.R2 / pack.mass[sl])
+    arrays["repwid_base"] = (c.SQRT_LN2
+                             / np.maximum(alpha_base,
+                                          1e-300)).astype(np.float32)
     static = {"v0": v0, "vn": vn, "n_per_v": n_per_v,
               "num_points": num_points, "cut_off": cut_off,
               "q_t0": float(pack.q_temperature[0]),
@@ -116,21 +136,30 @@ def line_kernel_arrays(arrays, static, temperature, pressure,
     shift = p_atm * arrays["delta_air"]
     gamma = (arrays["gamma_air"] * (p_atm - partial)
              + arrays["gamma_self"] * partial) * tfact ** arrays["n_air"]
-    alpha = (arrays["nu"] / c.VLIGHT) * jnp.sqrt(
-        c.R2 * temperature / arrays["mass"])
 
     sb = jnp.exp(arrays["elower"] * c.C2 * (temperature - 296.0)
                  / (temperature * 296.0))
     g = jnp.exp((-c.C2 * arrays["nu"]) / temperature)
-    gref = jnp.exp((-c.C2 * arrays["nu"]) / 296.0)
-    se = (1.0 - g) / (1.0 - gref)
     q_t = _q_interp(arrays["q_table"], static["q_t0"], arrays["q_row"],
                     temperature)
-    q_ref = _q_interp(arrays["q_table"], static["q_t0"], arrays["q_row"],
-                      jnp.asarray(296.0, q_t.dtype))
-    sw = arrays["sw"] * sb * se * (q_ref / q_t) * 1.0e-4
+    sw_pre = arrays.get("sw_pre")
+    if sw_pre is None:  # externally built arrays without the hoisted terms
+        gref = jnp.exp((-c.C2 * arrays["nu"]) / 296.0)
+        q_ref = _q_interp(arrays["q_table"], static["q_t0"],
+                          arrays["q_row"], jnp.asarray(296.0, q_t.dtype))
+        sw_pre = arrays["sw"] * (q_ref / (1.0 - gref)) * 1.0e-4
+    sw = sw_pre * sb * ((1.0 - g) / q_t)
 
-    repwid = jnp.asarray(c.SQRT_LN2, gamma.dtype) / alpha
+    repwid_base = arrays.get("repwid_base")
+    if repwid_base is None:
+        alpha = (arrays["nu"] / c.VLIGHT) * jnp.sqrt(
+            c.R2 * temperature / arrays["mass"])
+        repwid = jnp.asarray(c.SQRT_LN2, gamma.dtype) / alpha
+    else:
+        # repwid_base / sqrt(T): one scalar rsqrt + one per-line multiply
+        # instead of a per-line sqrt and divide.
+        repwid = repwid_base * jax.lax.rsqrt(
+            jnp.asarray(temperature, repwid_base.dtype))
     dc = shift * n_per_v
     center = arrays["c_base_int"] + (arrays["c_base_frac"] + dc)
     bucket = jnp.floor(center / n_per_v + v0)
@@ -258,13 +287,15 @@ def derive_envelope(temperature, pressure, t_quantum=5.0,
 
     The batched pipelines size their layer-independent rows-core instance
     windows for the envelope's hottest/highest-pressure layer
-    (make_batched_tpu_fn / make_multigas_batched_fn); the default envelope
-    (350 K, 5 atm) carries ~29% more core instances than a terrestrial
-    column needs (docs/performance.md "known headroom").  Deriving the
-    envelope from the atmosphere recovers that work.  Quantizing up (next
-    5 K / 0.25 atm) keeps near-identical atmospheres on shared compiled
-    pipelines and guarantees max(T) <= t_max, max(p) <= p_max_atm so the
-    runtime envelope guard can never fire.
+    (make_batched_tpu_fn / make_multigas_batched_fn).  Deriving the
+    envelope from the atmosphere makes conditions beyond the wide default
+    (350 K, 5 atm) computable (instead of tripping the runtime guard) and
+    trims the instance windows slightly (~0.4% on the canonical column —
+    see docs/performance.md "known headroom" for why most of the
+    batched-vs-exact instance gap is structural, not envelope slack).
+    Quantizing up (next 5 K / 0.25 atm) keeps near-identical atmospheres
+    on shared compiled pipelines and guarantees max(T) <= t_max,
+    max(p) <= p_max_atm so the runtime envelope guard can never fire.
 
     Args:
         temperature: temperatures [K], any shape.
@@ -587,12 +618,15 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
 
 # Per-line block keys exchanged by the ring pass / sharded by nu-bucket.
 _LINE_KEYS = ("c_base_int", "c_base_frac", "nu", "sw", "gamma_air",
-              "gamma_self", "n_air", "delta_air", "elower", "mass", "q_row")
-# Benign pad values: sw=0 makes the physics prefactor exactly 0, so padded
-# entries scatter zeros; mass/nu > 0 keep the broadening math finite.
+              "gamma_self", "n_air", "delta_air", "elower", "mass", "q_row",
+              "sw_pre", "repwid_base")
+# Benign pad values: sw/sw_pre=0 make the physics prefactor exactly 0, so
+# padded entries scatter zeros; mass/nu/repwid_base > 0 keep the broadening
+# math finite.
 _LINE_PAD = {"c_base_int": 0.0, "c_base_frac": 0.0, "nu": 1.0, "sw": 0.0,
              "gamma_air": 1e-3, "gamma_self": 1e-3, "n_air": 0.0,
-             "delta_air": 0.0, "elower": 0.0, "mass": 1.0, "q_row": 0}
+             "delta_air": 0.0, "elower": 0.0, "mass": 1.0, "q_row": 0,
+             "sw_pre": 0.0, "repwid_base": 1.0}
 
 
 def shard_line_pack(pack, grid, spec, cut_off=c.DEFAULT_CUT_OFF,

@@ -109,7 +109,11 @@ def main():
             soa, groups = jax.vmap(
                 lambda a, b, c_: assemble(a, b, c_, arrays_dev,
                                           inst_line_dev))(t, p_d, x_d)
-            return (acc + soa[0, 4, 0] + groups[0, 0, 0],
+            # Reduce over the FULL outputs: a single-element readback lets
+            # XLA dead-code-eliminate most of the assembly (the "0.76 ms"
+            # artifact documented in CLAUDE.md).
+            return (acc + (jnp.sum(soa) + jnp.sum(groups))
+                    * jnp.float32(1e-30),
                     t + acc * 0.0)
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), t_d))
         return acc
