@@ -318,7 +318,17 @@ def main():
         scaling_proc = start_scaling_cpu_mesh()
     except Exception:
         scaling_proc = None
-    rate, points_rate, max_k = tpu_rate(pack, grid)
+    # The axon tunnel's remote-compile RPC occasionally drops mid-read
+    # ("response body closed before all bytes were read"); one retry after
+    # a short pause reliably recovers.
+    for attempt in range(3):
+        try:
+            rate, points_rate, max_k = tpu_rate(pack, grid)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(20.0)
     assert np.isfinite(max_k) and max_k > 0
     timings["headline_s"] = round(time.perf_counter() - _T0, 1)
     vs_baseline = rate / ref if ref else 1.0
