@@ -157,6 +157,10 @@ class Gas:
                 envelope (parallel.lines.derive_envelope); tighter
                 envelopes shrink the layer-independent core-instance
                 windows.  Default: the pipeline's wide terrestrial bounds.
+                Only the fused device (pallas) pipeline uses it — the
+                portable per-layer fallback has no precomputed windows, so
+                the envelope (and its out-of-range guard) is a no-op
+                there.
 
         Returns:
             numpy float64 [B, (vn - v0) * n_per_v].

@@ -33,6 +33,15 @@ from ..ops import lineshape
 from ..utils import constants as c
 
 
+class UnstackableError(ValueError):
+    """The given molecules cannot share one stacked kernel launch.
+
+    Raised by :func:`stack_device_packs` (flat grid too large for exact
+    float32 integers, or mismatched TIPS base temperatures).  Callers that
+    fall back to per-gas dispatch catch exactly this — a plain ValueError
+    from a real bug propagates instead of silently degrading."""
+
+
 def device_line_pack(pack, grid, keep=None, cut_off=c.DEFAULT_CUT_OFF):
     """Prepares device-resident per-line arrays for a target grid.
 
@@ -78,7 +87,12 @@ def device_line_pack(pack, grid, keep=None, cut_off=c.DEFAULT_CUT_OFF):
     q32 = arrays["q_table"]
     t0q = int(float(pack.q_temperature[0]))  # matches _q_interp's int(q_t0)
     i296 = int(np.clip(296 - t0q, 0, q32.shape[1] - 2))
-    frac296 = np.float32(296.0 - (i296 + t0q))
+    # Clamp the interpolation fraction to [0, 1]: when a short TIPS table
+    # tops out below 296 K, i296 was clipped and an unclamped fraction
+    # would extrapolate linearly off the last two columns.  Clamping
+    # matches the runtime _q_interp's behavior on the edge-padded stacked
+    # table (extrapolating there is a no-op because lo == hi).
+    frac296 = np.float32(np.clip(296.0 - (i296 + t0q), 0.0, 1.0))
     q_slots296 = q32[:, i296] + (q32[:, i296 + 1] - q32[:, i296]) * frac296
     q_ref = q_slots296[arrays["q_row"]].astype(np.float64)
     gref = np.exp(-c.C2 * pack.nu[sl] / 296.0)
@@ -229,7 +243,7 @@ def stack_device_packs(packs, grid, cut_off=c.DEFAULT_CUT_OFF):
     names = list(packs)
     v0, vn, n_per_v, num_points = internal_grid(grid)
     if len(names) * num_points >= 2 ** 24:
-        raise ValueError(
+        raise UnstackableError(
             "flat stacked grid exceeds the float32 exact-integer range; "
             "split the gases into groups")
     keeps = {n: packs[n].compat_break_filter(v0, vn, cut_off)
@@ -238,8 +252,8 @@ def stack_device_packs(packs, grid, cut_off=c.DEFAULT_CUT_OFF):
                                  cut_off=cut_off)) for n in names]
     q_t0 = per[0][2]["q_t0"]
     if any(s["q_t0"] != q_t0 for _, _, s in per):
-        raise ValueError("stacked gases must share the TIPS table base "
-                         "temperature")
+        raise UnstackableError("stacked gases must share the TIPS table "
+                               "base temperature")
     n_temps = max(a["q_table"].shape[1] for _, a, _ in per)
 
     parts = {key: [] for key in _LINE_KEYS}
@@ -308,6 +322,12 @@ def derive_envelope(temperature, pressure, t_quantum=5.0,
     pressure = np.asarray(pressure, np.float64)
     if temperature.size == 0 or pressure.size == 0:
         return 350.0, 5.0
+    if not (np.isfinite(temperature).all() and np.isfinite(pressure).all()):
+        # A NaN here would flow silently into NaN-sized instance windows
+        # (the runtime guard's `> t_max` comparisons are False vs NaN).
+        raise ValueError(
+            "non-finite temperature or pressure in the atmosphere; "
+            "cannot derive a kernel envelope")
     t_max = t_quantum * np.ceil(float(temperature.max()) / t_quantum)
     p_atm = float(pressure.max()) * c.PA_TO_ATM
     p_max_atm = p_quantum_atm * max(np.ceil(p_atm / p_quantum_atm), 1.0)

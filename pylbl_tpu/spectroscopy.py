@@ -146,7 +146,8 @@ class Spectroscopy:
         Returns:
             dict name -> [B, num_points] float64 cross sections [m2].
         """
-        from .parallel.lines import (make_multigas_sharded_pipeline,
+        from .parallel.lines import (UnstackableError,
+                                     make_multigas_sharded_pipeline,
                                      make_sharded_pipeline)
         from .parallel.mesh import BATCH_AXIS
 
@@ -177,8 +178,8 @@ class Spectroscopy:
                 fn = make_multigas_sharded_pipeline(
                     packs, self.grid, self.mesh, mode=self.sharding_mode,
                     remove_pedestal=remove_pedestal, weight_density=False)
-            except ValueError:
-                fn = None  # unstackable (e.g. TIPS base mismatch).
+            except UnstackableError:
+                fn = None  # fall back to per-gas sharded dispatch.
             self._sharded_fns[key] = fn
         if fn is not None:
             vmr_mat = np.stack([vmr_by_gas[n] for n in packs], axis=1)
@@ -229,7 +230,8 @@ class Spectroscopy:
                                             compute_pedestals_batch)
         from .models.lines.physics import (kernel_inputs,
                                            line_profile_params)
-        from .parallel.lines import make_multigas_batched_fn
+        from .parallel.lines import (UnstackableError,
+                                     make_multigas_batched_fn)
         from .utils.constants import DEFAULT_CUT_OFF
 
         packs = {}
@@ -254,7 +256,7 @@ class Spectroscopy:
                     t_max=self._envelope[0],
                     p_max_atm=self._envelope[1],
                     interpret=interpret)
-            except ValueError:
+            except UnstackableError:
                 return {}
             self._multigas_fns[key] = fn
         vmr_mat = np.stack([np.asarray(v, np.float64)

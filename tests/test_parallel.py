@@ -112,6 +112,32 @@ def test_derive_envelope():
     assert t_max == 400.0 and p_max >= 8e5 * 9.86923e-6
     # Empty conditions fall back to the wide terrestrial defaults.
     assert derive_envelope(np.asarray([]), np.asarray([])) == (350.0, 5.0)
+    # Non-finite conditions fail loudly instead of propagating NaN-sized
+    # instance windows into the batched pipelines.
+    with pytest.raises(ValueError, match="non-finite"):
+        derive_envelope(np.asarray([288.0, np.nan]), np.asarray([1e5, 1e5]))
+    with pytest.raises(ValueError, match="non-finite"):
+        derive_envelope(np.asarray([288.0]), np.asarray([np.inf]))
+
+
+def test_unstackable_error_taxonomy():
+    """Stacking failures raise the dedicated UnstackableError (a ValueError
+    subclass) so orchestration fallbacks never swallow unrelated bugs."""
+    from pylbl_tpu.database.fixtures import synthetic_line_pack
+    from pylbl_tpu.parallel.lines import (UnstackableError,
+                                          stack_device_packs)
+
+    packs = {"A": synthetic_line_pack(num_lines=32, nu_min=0.5,
+                                      nu_max=60.0, seed=1),
+             "B": synthetic_line_pack(num_lines=32, nu_min=0.5,
+                                      nu_max=60.0, seed=2)}
+    # Mismatched TIPS base temperatures are unstackable.
+    import dataclasses
+    packs["B"] = dataclasses.replace(
+        packs["B"], q_temperature=packs["B"].q_temperature + 5.0)
+    with pytest.raises(UnstackableError):
+        stack_device_packs(packs, np.arange(1.0, 50.0, 0.1))
+    assert issubclass(UnstackableError, ValueError)
 
 
 def test_batched_fn_tight_envelope_matches_default(workload):
