@@ -89,7 +89,7 @@ def _sequential_scan(bi_rel, skip, left_clamp, right_clamp, cover0, coverN,
 
 
 def compute_pedestals_batch(k_nosub, kin, num_points, n_per_v, cut_off,
-                            chunk=8192):
+                            chunk=8192, k_at_ps=None):
     """Computes per-line pedestal values for a batch of layers.
 
     All contribution sums (the expensive Voigt work) are vectorized over
@@ -97,6 +97,11 @@ def compute_pedestals_batch(k_nosub, kin, num_points, n_per_v, cut_off,
 
     Args:
         k_nosub: [B, num_points] pedestal-free fields (float64 numpy).
+            May be None when ``k_at_ps`` is given — the full field enters
+            the algorithm only through its values at each line's clamped
+            left endpoint, so callers holding the field on an accelerator
+            can pass a device-gathered [B, N] endpoint slice instead of
+            round-tripping the whole field to the host.
         kin: dict with float64 arrays in nu-sorted processing order:
             nu_raw [N] (shared across layers), and [B, N] arrays nu_shift,
             center, repwid, y, prefactor, s_idx, e_idx, bucket.
@@ -105,6 +110,9 @@ def compute_pedestals_batch(k_nosub, kin, num_points, n_per_v, cut_off,
         cut_off: wing cut-off [cm-1].
         chunk: line-rows per vectorized block (scaled down by batch size
             to bound the [B, rows, segment] working set).
+        k_at_ps: optional [B, N] field values at each line's clamped left
+            window endpoint (k_nosub[b, clip(s_idx, 0, n-1)]), replacing
+            the gather from ``k_nosub``.
 
     Returns:
         ped: [B, N] pedestal value per line (0 for lines that contribute
@@ -198,8 +206,9 @@ def compute_pedestals_batch(k_nosub, kin, num_points, n_per_v, cut_off,
     cumN_incl = np.cumsum(contribN, axis=1)
 
     # Interior prefix contributions at p_s: full field minus later windows.
-    k_s_contrib = np.take_along_axis(np.atleast_2d(k_nosub), p_s,
-                                     axis=1) - suf_contrib_s
+    if k_at_ps is None:
+        k_at_ps = np.take_along_axis(np.atleast_2d(k_nosub), p_s, axis=1)
+    k_s_contrib = np.asarray(k_at_ps, np.float64) - suf_contrib_s
 
     # ---- the sequential remainder: windowed pedestal bucket-sum scan ----
     from ...runtime import native

@@ -936,6 +936,133 @@ def remove_stacked_pedestal(packs, grid, k, temperature, pressure,
     return k
 
 
+@jax.jit
+def _gather_points(k_flat, flat_idx):
+    """Device gather of field values: k_flat [B, n_pad], flat_idx [B, M]
+    int32 -> [B, M].  The only field data the pedestal scan consumes."""
+    return jnp.take_along_axis(k_flat, flat_idx, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_gases", "num_points"))
+def _apply_pedestal_device(k_flat, ped, gas_idx, s_loc, e_loc, num_gases,
+                           num_points):
+    """Box-subtracts per-line pedestals on device.
+
+    The difference-array formulation of the reference's per-window loop
+    (reference spectra.c:73-77): +ped at each window start, -ped past its
+    end, one cumulative sum.  The cumsum runs per gas segment so float32
+    rounding never leaks across gas boundaries (in exact arithmetic the
+    running sum returns to zero at each segment edge).
+
+    Args:
+        k_flat: [B, n_pad] field, n_pad >= num_gases * num_points.
+        ped: [B, M] float32 pedestal values (0 for dead lines).
+        gas_idx: [M] int32 gas of each line.
+        s_loc / e_loc: [B, M] int32 clamped per-gas window bounds.
+
+    Returns:
+        [B, n_pad] with pedestals removed (padding tail untouched).
+    """
+    batch, n_pad = k_flat.shape
+    flat = num_gases * num_points
+    k = k_flat[:, :flat].reshape(batch, num_gases, num_points)
+    diff = jnp.zeros((batch, num_gases, num_points + 1), k.dtype)
+    b_ix = jnp.arange(batch)[:, None]
+    g_ix = jnp.broadcast_to(gas_idx[None, :], ped.shape)
+    diff = diff.at[b_ix, g_ix, s_loc].add(ped)
+    diff = diff.at[b_ix, g_ix, e_loc + 1].add(-ped)
+    k = k - jnp.cumsum(diff[..., :num_points], axis=-1)
+    out = k.reshape(batch, flat)
+    if n_pad > flat:
+        out = jnp.concatenate([out, k_flat[:, flat:]], axis=1)
+    return out
+
+
+def make_stacked_pedestal_remover(packs, grid, cut_off=c.DEFAULT_CUT_OFF):
+    """Two-phase reference-exact pedestal removal for device fields.
+
+    The sequential pedestal scan (models/lines/pedestal.py, reference
+    spectra.c:66-78) needs the accumulated field only at each line's left
+    window endpoint, so instead of gathering the whole [B, G, num_points]
+    field to the host (prohibitive over a slow host<->device link), this:
+
+    1. gathers the [B, N_total] endpoint values on device and fetches
+       only those;
+    2. runs the host physics + sequential scan per gas (float64);
+    3. box-subtracts the resulting pedestals on device
+       (:func:`_apply_pedestal_device`).
+
+    Args:
+        packs: dict name -> LinePack in stacked gas order (a single-gas
+            dict gives the non-stacked behavior).
+        grid: user wavenumber grid.
+
+    Returns:
+        remove(k_dev, temperature[B], pressure[B], vmr_mat[B, G]) -> jnp
+        array of k_dev's shape with pedestals removed.  ``k_dev`` is
+        [B, n_pad] flat (n_pad >= G * num_points, gas-major) or
+        [B, G, num_points].
+    """
+    from ..models.lines.gas import internal_grid
+    from ..models.lines.pedestal import compute_pedestals_batch
+    from ..models.lines.physics import kernel_inputs, line_profile_params
+
+    v0, vn, n_per_v, num_points = internal_grid(grid)
+    names = list(packs)
+    keeps = [packs[n].compat_break_filter(v0, vn, cut_off) for n in names]
+
+    def remove(k_dev, temperature, pressure, vmr_mat):
+        t64 = np.atleast_1d(np.asarray(temperature, np.float64))
+        p64 = np.atleast_1d(np.asarray(pressure, np.float64))
+        x64 = np.atleast_2d(np.asarray(vmr_mat, np.float64))
+        stacked_in = k_dev.ndim == 3
+        k_flat = k_dev.reshape(k_dev.shape[0], -1) if stacked_in else k_dev
+
+        kins, ps_rows = [], []
+        for g, name in enumerate(names):
+            keep = keeps[g]
+            if keep == 0:
+                kins.append(None)
+                continue
+            params = line_profile_params(packs[name], t64, p64, x64[:, g],
+                                         keep=keep)
+            kin = kernel_inputs(params, v0, n_per_v, cut_off)
+            kin["nu_raw"] = packs[name].nu[:keep]
+            kin["nu_shift"] = params["nu_shift"]
+            kins.append(kin)
+            p_s = np.clip(kin["s_idx"], 0, num_points - 1)
+            ps_rows.append(g * num_points + p_s)
+        if not ps_rows:
+            return k_dev
+        flat_ps = np.concatenate(ps_rows, axis=1).astype(np.int32)
+        k_at = np.asarray(_gather_points(k_flat, flat_ps), np.float64)
+
+        peds, gidx, s_rows, e_rows = [], [], [], []
+        col = 0
+        for g, kin in enumerate(kins):
+            if kin is None:
+                continue
+            n_g = kin["s_idx"].shape[1]
+            ped = compute_pedestals_batch(
+                None, kin, num_points, n_per_v, cut_off,
+                k_at_ps=k_at[:, col:col + n_g])
+            col += n_g
+            live = (kin["s_idx"] < num_points) & (kin["e_idx"] >= 0)
+            peds.append(np.where(live, ped, 0.0).astype(np.float32))
+            gidx.append(np.full(n_g, g, np.int32))
+            s_rows.append(np.clip(kin["s_idx"], 0,
+                                  num_points - 1).astype(np.int32))
+            e_rows.append(np.clip(kin["e_idx"], 0,
+                                  num_points - 1).astype(np.int32))
+        out = _apply_pedestal_device(
+            k_flat, np.concatenate(peds, axis=1), np.concatenate(gidx),
+            np.concatenate(s_rows, axis=1), np.concatenate(e_rows, axis=1),
+            len(names), num_points)
+        return out.reshape(k_dev.shape) if stacked_in else out
+
+    return remove
+
+
 def make_multigas_sharded_pipeline(packs, grid, mesh,
                                    cut_off=c.DEFAULT_CUT_OFF,
                                    mode="balanced", remove_pedestal=False,
@@ -944,12 +1071,21 @@ def make_multigas_sharded_pipeline(packs, grid, mesh,
 
     Gas stacking (one kernel launch for every molecule) composed with
     line sharding over the mesh's "spec" axis and layer batching over
-    "batch"; optional host pedestal removal per gas.
+    "batch".  Pedestal removal and density weighting run on device (the
+    scan's host part touches only [B, N] endpoint values,
+    :func:`make_stacked_pedestal_remover`) — the full [B, G, num_points]
+    field never round-trips to the host unless the caller materializes
+    the numpy result.
 
     Returns:
         fn(temperature[B], pressure[B], vmr[B, G]) -> numpy float64
         [B, G, num_points] cross sections [m2] (or absorption [m-1] when
         ``weight_density``), gases ordered as ``list(packs)``.
+        ``fn.device(...)`` returns the same as a device-resident jnp
+        float32 array (sharded over the mesh), for callers that reduce
+        or stream without a host gather.  ``fn.total(...)`` returns the
+        density-weighted gas sum [B, num_points] in m-1, reduced on
+        device.
     """
     spec = mesh.shape[SPEC_AXIS]
     blocks, q_table, static, info, names = shard_stacked_packs(
@@ -961,22 +1097,41 @@ def make_multigas_sharded_pipeline(packs, grid, mesh,
     num_points = static["num_points"]
     flat_points = static["flat_points"]
     num_gases = static["num_gases"]
+    remover = make_stacked_pedestal_remover(packs, grid, cut_off) \
+        if remove_pedestal else None
 
-    def fn(temperature, pressure, vmr):
+    @functools.partial(jax.jit, static_argnames=("weight",))
+    def _finalize(k_flat, temperature, pressure, vmr, weight):
+        k = k_flat[:, :flat_points].reshape(
+            k_flat.shape[0], num_gases, num_points)
+        if weight:
+            n_density = pressure[:, None] * vmr / (
+                jnp.asarray(c.KB, k.dtype) * temperature[:, None])
+            k = k * n_density[..., None]
+        return k
+
+    def device_fn(temperature, pressure, vmr, weight=weight_density):
         t64 = np.atleast_1d(np.asarray(temperature, np.float64))
         p64 = np.atleast_1d(np.asarray(pressure, np.float64))
         x64 = np.atleast_2d(np.asarray(vmr, np.float64))
         out = step(blocks_dev, q_dev, t64.astype(np.float32),
                    p64.astype(np.float32), x64.astype(np.float32))
-        k = np.asarray(out, np.float64)[:, :flat_points].reshape(
-            t64.size, num_gases, num_points)
-        if remove_pedestal:
-            k = remove_stacked_pedestal(packs, grid, k, t64, p64, x64,
-                                        cut_off)
-        if weight_density:
-            k *= (p64[:, None] * x64 / (c.KB * t64[:, None]))[..., None]
-        return k
+        if remover is not None:
+            out = remover(out, t64, p64, x64)
+        return _finalize(out, t64.astype(np.float32),
+                         p64.astype(np.float32), x64.astype(np.float32),
+                         weight)
 
+    @jax.jit
+    def _total(k):
+        return jnp.sum(k, axis=1)
+
+    def fn(temperature, pressure, vmr):
+        return np.asarray(device_fn(temperature, pressure, vmr),
+                          np.float64)
+
+    fn.device = device_fn
+    fn.total = lambda t, p, x: _total(device_fn(t, p, x, weight=True))
     return fn
 
 
@@ -988,18 +1143,17 @@ def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,
     The device part (line physics + windowed Voigt summation) runs fully
     sharded via :func:`make_lines_sharded_step`; pedestal removal — whose
     sequential-accumulator semantics (reference spectra.c:66-78) need a
-    host scan — then runs layer-vectorized on the gathered field
-    (models/lines/pedestal.py).
+    host scan — feeds that scan from a device endpoint gather and
+    box-subtracts on device (:func:`make_stacked_pedestal_remover`), so
+    the full field never round-trips to the host.
 
     Returns:
         fn(temperature[B], pressure[B], vmr[B]) -> numpy float64
         [B, num_points] cross sections [m2] (or absorption [m-1] when
-        ``weight_density``).
+        ``weight_density``); ``fn.device(...)`` the device-resident jnp
+        float32 equivalent (sharded over the mesh).
     """
     from ..models.lines.gas import internal_grid
-    from ..models.lines.pedestal import (apply_pedestal_batch,
-                                         compute_pedestals_batch)
-    from ..models.lines.physics import kernel_inputs, line_profile_params
 
     spec = mesh.shape[SPEC_AXIS]
     v0, vn, n_per_v, num_points = internal_grid(grid)
@@ -1010,27 +1164,36 @@ def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,
                                    weight_density=False, chunk=chunk)
     blocks_dev = {k: jnp.asarray(v) for k, v in blocks.items()}
     q_dev = jnp.asarray(q_table)
+    remover = make_stacked_pedestal_remover({pack.formula: pack}, grid,
+                                            cut_off) \
+        if remove_pedestal and keep else None
 
-    def fn(temperature, pressure, vmr):
+    @functools.partial(jax.jit, static_argnames=("weight",))
+    def _finalize(k_flat, temperature, pressure, vmr, weight):
+        k = k_flat[:, :num_points]
+        if weight:
+            n_density = pressure * vmr / (
+                jnp.asarray(c.KB, k.dtype) * temperature)
+            k = k * n_density[:, None]
+        return k
+
+    def device_fn(temperature, pressure, vmr):
         t64 = np.atleast_1d(np.asarray(temperature, np.float64))
         p64 = np.atleast_1d(np.asarray(pressure, np.float64))
         x64 = np.atleast_1d(np.asarray(vmr, np.float64))
         out = step(blocks_dev, q_dev, t64.astype(np.float32),
                    p64.astype(np.float32), x64.astype(np.float32))
-        k = np.asarray(out, np.float64)[:, :num_points]
-        if remove_pedestal and keep:
-            params = line_profile_params(pack, t64, p64, x64, keep=keep)
-            kin = kernel_inputs(params, v0, n_per_v, cut_off)
-            kin["nu_raw"] = pack.nu[:keep]
-            kin["nu_shift"] = params["nu_shift"]
-            ped = compute_pedestals_batch(k, kin, num_points, n_per_v,
-                                          cut_off)
-            k = apply_pedestal_batch(k, ped, kin["s_idx"], kin["e_idx"],
-                                     num_points)
-        if weight_density:
-            k *= (p64 * x64 / (c.KB * t64))[:, None]
-        return k
+        if remover is not None:
+            out = remover(out, t64, p64, x64[:, None])
+        return _finalize(out, t64.astype(np.float32),
+                         p64.astype(np.float32), x64.astype(np.float32),
+                         weight_density)
 
+    def fn(temperature, pressure, vmr):
+        return np.asarray(device_fn(temperature, pressure, vmr),
+                          np.float64)
+
+    fn.device = device_fn
     return fn
 
 

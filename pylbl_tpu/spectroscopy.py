@@ -65,7 +65,7 @@ class Spectroscopy:
     def __init__(self, atmosphere, grid, database, mapping=None,
                  lines_backend="pyLBL", continua_backend="mt_ckd",
                  cross_sections_backend="arts_crossfit", mesh=None,
-                 sharding_mode="balanced"):
+                 sharding_mode="balanced", device_mechanisms=None):
         """Initializes the object.
 
         Args:
@@ -85,6 +85,15 @@ class Spectroscopy:
             sharding_mode: line decomposition when ``mesh`` is given —
                 "balanced" (default), "halo", or "ring"
                 (parallel.lines.shard_line_pack).
+            device_mechanisms: evaluate continua and cross sections with
+                the jitted on-device paths (BandedContinuum.device_spectra
+                / CrossSection.device_absorption_fn) instead of host
+                numpy; under a mesh their spectral axis is sharded over
+                "spec".  Default: True on accelerator backends, False on
+                CPU (where the float64 host path is the parity anchor).
+                The reference evaluates these per layer in host numpy
+                (reference mt_ckd/utils.py:157-174,
+                arts_crossfit/cross_section.py:30-48).
         """
         self.atmosphere = Atmosphere(atmosphere, mapping=mapping)
         self.grid = np.asarray(grid)
@@ -100,6 +109,11 @@ class Spectroscopy:
         self.mesh = mesh
         self.sharding_mode = sharding_mode
         self._sharded_fns = {}
+        if device_mechanisms is None:
+            import jax
+            device_mechanisms = jax.default_backend() != "cpu"
+        self.device_mechanisms = device_mechanisms
+        self._mechanism_fns = {}
         # Tight kernel envelope from this atmosphere's actual conditions:
         # shrinks the batched pipelines' layer-independent core-instance
         # windows vs the wide default (350 K, 5 atm) and lets atmospheres
@@ -134,6 +148,69 @@ class Spectroscopy:
         except (TypeError, ValueError):
             return {}
         return {"envelope": self._envelope} if "envelope" in params else {}
+
+    def _device_mechanism_fns(self, name):
+        """Jitted on-device continuum/xsec evaluators for one gas.
+
+        Built lazily per gas and cached; under a mesh the output spectral
+        axis is sharded over "spec" (the evaluations are halo-free
+        gathers + elementwise band formulas, so XLA partitions them with
+        no collectives) and layers over "batch".
+
+        Returns:
+            (continua_fns or None, xsec_fn or None).
+        """
+        fns = self._mechanism_fns.get(name)
+        if fns is not None:
+            return fns
+        data = self.cache[name]
+        cont_fns = None
+        if data.gas_continua is not None:
+            cont_fns = [cont.device_spectra(self.grid)
+                        for cont in data.gas_continua]
+        xsec_fn = None
+        if data.cross_section is not None:
+            xsec_fn = data.cross_section.device_absorption_fn(self.grid)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            from .parallel.mesh import BATCH_AXIS, SPEC_AXIS
+            sharding = NamedSharding(self.mesh, P(BATCH_AXIS, SPEC_AXIS))
+            if cont_fns is not None:
+                cont_fns = [jax.jit(fn, out_shardings=sharding)
+                            for fn in cont_fns]
+            if xsec_fn is not None:
+                xsec_fn = jax.jit(xsec_fn, out_shardings=sharding)
+        self._mechanism_fns[name] = (cont_fns, xsec_fn)
+        return cont_fns, xsec_fn
+
+    def _continua_batch(self, name, temperature, pressure, vmr_by_gas):
+        """[B, grid] continuum extinction [m-1] for one gas, summed over
+        its continuum components; device path when enabled."""
+        data = self.cache[name]
+        if data.gas_continua is None:
+            return None
+        if self.device_mechanisms:
+            cont_fns, _ = self._device_mechanism_fns(name)
+            total = sum(fn(temperature, pressure, vmr_by_gas)
+                        for fn in cont_fns)
+            return np.asarray(total, np.float64)
+        return sum(continuum.spectra(temperature, pressure, vmr_by_gas,
+                                     self.grid)
+                   for continuum in data.gas_continua)
+
+    def _xsec_batch(self, name, temperature, pressure):
+        """[B, grid] cross sections [m2] for one gas; device path when
+        enabled."""
+        data = self.cache[name]
+        if data.cross_section is None:
+            return None
+        if self.device_mechanisms:
+            _, xsec_fn = self._device_mechanism_fns(name)
+            return np.asarray(xsec_fn(temperature, pressure), np.float64)
+        return data.cross_section.absorption_coefficient_batch(
+            self.grid, temperature, pressure)
 
     def _compute_lines_sharded(self, temperature, pressure, vmr_by_gas,
                                remove_pedestal):
@@ -336,16 +413,9 @@ class Spectroscopy:
             # band formulas and fit/clip/interp are vectorized over [B];
             # the reference re-evaluates per layer,
             # spectroscopy.py:194-205).
-            continua_batch = None
-            if data.gas_continua is not None:
-                continua_batch = sum(
-                    continuum.spectra(temperature, pressure, vmr_by_gas,
-                                      self.grid)
-                    for continuum in data.gas_continua)
-            xsec_batch = None
-            if data.cross_section is not None:
-                xsec_batch = data.cross_section.absorption_coefficient_batch(
-                    self.grid, temperature, pressure)
+            continua_batch = self._continua_batch(name, temperature,
+                                                  pressure, vmr_by_gas)
+            xsec_batch = self._xsec_batch(name, temperature, pressure)
 
             for i in range(num_states):
                 n = number_density(temperature[i], pressure[i], fraction[i])
@@ -443,14 +513,13 @@ class Spectroscopy:
                     if lines is not None:
                         block[:, 0] = n_blk[:, None] \
                             * lines[:, :self.grid.size]
-                    if data.gas_continua is not None:
-                        for continuum in data.gas_continua:
-                            block[:, 1] += continuum.spectra(
-                                t_blk, p_blk, vmr_blk, self.grid)
-                    if data.cross_section is not None:
-                        block[:, 2] = n_blk[:, None] * \
-                            data.cross_section.absorption_coefficient_batch(
-                                self.grid, t_blk, p_blk)
+                    cont_blk = self._continua_batch(name, t_blk, p_blk,
+                                                    vmr_blk)
+                    if cont_blk is not None:
+                        block[:, 1] += cont_blk
+                    xsec_blk = self._xsec_batch(name, t_blk, p_blk)
+                    if xsec_blk is not None:
+                        block[:, 2] = n_blk[:, None] * xsec_blk
                     blocks[f"{name}_absorption"] = block
                 for j, i in enumerate(idx):
                     writer.write_state(int(i), {

@@ -242,6 +242,29 @@ def test_multigas_sharded_pipeline(gas_packs, mode):
             assert rel.max() < 5e-4, f"{name} layer {i}: {rel.max()}"
 
 
+def test_sharded_pipeline_device_resident(gas_packs):
+    """fn.device keeps the field on device end-to-end (pedestal included:
+    its host phase touches only [B, N] endpoint values) and fn.total
+    reduces there; both match the numpy-materializing fn."""
+    import jax
+    from pylbl_tpu.parallel import make_mesh, make_multigas_sharded_pipeline
+    from pylbl_tpu.spectroscopy import number_density
+
+    mesh = make_mesh(batch=2, spec=4)
+    fn = make_multigas_sharded_pipeline(gas_packs, GRID, mesh,
+                                        remove_pedestal=True)
+    k_dev = fn.device(T, P, VMR)
+    assert isinstance(k_dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(k_dev, np.float64), fn(T, P, VMR),
+                               rtol=0, atol=0)
+    tot = np.asarray(fn.total(T, P, VMR), np.float64)
+    want = np.einsum("bgn,bg->bn", fn(T, P, VMR),
+                     number_density(T[:, None], P[:, None], VMR))
+    scale = max(np.abs(want).max(), 1e-300)
+    rel = np.abs(tot - want) / np.maximum(np.abs(want), scale * 1e-6)
+    assert rel.max() < 1e-4
+
+
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_multigas_total_on_device(gas_packs, backend):
     """fn.total reduces the density-weighted gas sum on device."""

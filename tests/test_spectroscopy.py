@@ -77,6 +77,28 @@ def test_output_formats(database, single_layer_atmosphere, coarse_grid):
         ("layer", "wavenumber")
 
 
+def test_device_mechanisms_parity(database, atmosphere_dataset,
+                                  coarse_grid):
+    """The jitted on-device continua/xsec paths (the default on
+    accelerator backends) match the float64 host paths on every gas and
+    layer.  On this forced-CPU x64 test mesh both trace the same formulas
+    in float64, so agreement is tight."""
+    db, _ = database
+    host = Spectroscopy(atmosphere_dataset, coarse_grid, db,
+                        device_mechanisms=False)
+    dev = Spectroscopy(atmosphere_dataset, coarse_grid, db,
+                       device_mechanisms=True)
+    k_host = host.compute_absorption(output_format="all")
+    k_dev = dev.compute_absorption(output_format="all")
+    for name in ["H2O", "CO2", "CH4", "O2", "N2", "O3"]:
+        a = k_host.data_vars[f"{name}_absorption"].data
+        b = k_dev.data_vars[f"{name}_absorption"].data
+        # mechanisms 1 (continuum) and 2 (cross sections) are the ones
+        # rerouted; lines (0) shares one path.
+        np.testing.assert_allclose(b[:, 1:], a[:, 1:], rtol=1e-12,
+                                   atol=a.max() * 1e-14)
+
+
 def test_bad_backend_names(database, atmosphere_dataset, coarse_grid):
     db, _ = database
     for kwargs in [dict(lines_backend="foo"), dict(continua_backend="foo"),
