@@ -175,13 +175,19 @@ class Spectroscopy:
             import jax
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
-            from .parallel.mesh import BATCH_AXIS, SPEC_AXIS
-            sharding = NamedSharding(self.mesh, P(BATCH_AXIS, SPEC_AXIS))
-            if cont_fns is not None:
-                cont_fns = [jax.jit(fn, out_shardings=sharding)
-                            for fn in cont_fns]
-            if xsec_fn is not None:
-                xsec_fn = jax.jit(xsec_fn, out_shardings=sharding)
+            from .parallel.mesh import SPEC_AXIS
+            # Shard the spectral axis over "spec" when it divides evenly
+            # (the evaluations are halo-free, so XLA partitions them with
+            # no collectives); the layer axis stays unsharded — batch
+            # sizes vary per call and the work is grid-dominated.
+            spec = self.mesh.shape[SPEC_AXIS]
+            if self.grid.size % spec == 0:
+                sharding = NamedSharding(self.mesh, P(None, SPEC_AXIS))
+                if cont_fns is not None:
+                    cont_fns = [jax.jit(fn, out_shardings=sharding)
+                                for fn in cont_fns]
+                if xsec_fn is not None:
+                    xsec_fn = jax.jit(xsec_fn, out_shardings=sharding)
         self._mechanism_fns[name] = (cont_fns, xsec_fn)
         return cont_fns, xsec_fn
 
@@ -212,9 +218,31 @@ class Spectroscopy:
         return data.cross_section.absorption_coefficient_batch(
             self.grid, temperature, pressure)
 
-    def _compute_lines_sharded(self, temperature, pressure, vmr_by_gas,
-                               remove_pedestal):
-        """Per-gas multi-device line absorption over ``self.mesh``.
+    def _pad_mesh_batch(self, temperature, pressure, vmr):
+        """Pads a layer batch to a multiple of the mesh batch axis with
+        copies of the last layer (shard_map needs an even split); callers
+        slice the result back to the true size."""
+        from .parallel.mesh import BATCH_AXIS
+
+        pad = -temperature.size % self.mesh.shape[BATCH_AXIS]
+        if not pad:
+            return temperature, pressure, vmr
+        temperature = np.concatenate(
+            [temperature, np.repeat(temperature[-1:], pad)])
+        pressure = np.concatenate(
+            [pressure, np.repeat(pressure[-1:], pad)])
+        if isinstance(vmr, dict):
+            vmr = {x: np.concatenate([v, np.repeat(v[-1:], pad)])
+                   for x, v in vmr.items()}
+        else:
+            vmr = np.concatenate(
+                [vmr, np.repeat(vmr[-1:], pad, axis=0)], axis=0)
+        return temperature, pressure, vmr
+
+    def _compute_lines_sharded_pergas(self, temperature, pressure,
+                                      vmr_by_gas, remove_pedestal):
+        """Per-gas multi-device line absorption over ``self.mesh`` — the
+        fallback when gases cannot share one stacked launch.
 
         Each gas's line list is sharded over the mesh's "spec" axis and
         the layer batch over "batch" (parallel.lines.make_sharded_pipeline,
@@ -223,56 +251,22 @@ class Spectroscopy:
         Returns:
             dict name -> [B, num_points] float64 cross sections [m2].
         """
-        from .parallel.lines import (UnstackableError,
-                                     make_multigas_sharded_pipeline,
-                                     make_sharded_pipeline)
-        from .parallel.mesh import BATCH_AXIS
+        from .parallel.lines import make_sharded_pipeline
 
-        # shard_map needs the layer batch to divide the mesh batch axis;
-        # pad with copies of the last layer and slice the result.
         num = temperature.size
-        mesh_batch = self.mesh.shape[BATCH_AXIS]
-        pad = -num % mesh_batch
-        if pad:
-            temperature = np.concatenate(
-                [temperature, np.repeat(temperature[-1:], pad)])
-            pressure = np.concatenate(
-                [pressure, np.repeat(pressure[-1:], pad)])
-            vmr_by_gas = {x: np.concatenate([v, np.repeat(v[-1:], pad)])
-                          for x, v in vmr_by_gas.items()}
-
-        packs = {name: self.cache[name].gas.pack for name in vmr_by_gas
-                 if self.cache[name].gas is not None
-                 and hasattr(self.cache[name].gas, "pack")}
-        if not packs:
-            return {}
-        # Preferred: all gases stacked into one sharded launch.
-        key = ("stacked", float(self.grid[0]), float(self.grid[-1]),
-               self.grid.size, tuple(packs), bool(remove_pedestal))
-        fn = self._sharded_fns.get(key)
-        if fn is None and key not in self._sharded_fns:
-            try:
-                fn = make_multigas_sharded_pipeline(
-                    packs, self.grid, self.mesh, mode=self.sharding_mode,
-                    remove_pedestal=remove_pedestal, weight_density=False)
-            except UnstackableError:
-                fn = None  # fall back to per-gas sharded dispatch.
-            self._sharded_fns[key] = fn
-        if fn is not None:
-            vmr_mat = np.stack([vmr_by_gas[n] for n in packs], axis=1)
-            k = fn(temperature, pressure, vmr_mat)
-            return {name: k[:num, g] for g, name in enumerate(packs)}
-
+        temperature, pressure, vmr_by_gas = self._pad_mesh_batch(
+            temperature, pressure, vmr_by_gas)
         out = {}
         for name, vmr in vmr_by_gas.items():
-            if name not in packs:
+            gas = self.cache[name].gas
+            if gas is None or not hasattr(gas, "pack"):
                 continue
             gkey = (name, float(self.grid[0]), float(self.grid[-1]),
                     self.grid.size, bool(remove_pedestal))
             gfn = self._sharded_fns.get(gkey)
             if gfn is None:
                 gfn = make_sharded_pipeline(
-                    packs[name], self.grid, self.mesh,
+                    gas.pack, self.grid, self.mesh,
                     mode=self.sharding_mode,
                     remove_pedestal=remove_pedestal,
                     weight_density=False)
@@ -280,36 +274,36 @@ class Spectroscopy:
             out[name] = gfn(temperature, pressure, vmr)[:num]
         return out
 
-    def _compute_lines_stacked(self, temperature, pressure, vmr_by_gas,
-                               remove_pedestal, backend=None,
-                               interpret=False):
-        """One stacked kernel launch for every gas's lines.
+    def _lines_device_stacked(self, temperature, pressure, vmr_by_gas,
+                              remove_pedestal, backend=None,
+                              interpret=False):
+        """One stacked kernel launch for every gas's lines, device-resident.
 
         Replaces the reference's serial per-gas dispatch
         (reference spectroscopy.py:166-205) on TPU: all molecules' line
         lists are concatenated with per-line gas indices and a flat
         [G * num_points] output grid, so the whole layer batch x gas
-        product is 2 kernel launches (wings + rows) total.
+        product is 2 kernel launches (wings + rows) total.  Pedestal
+        removal applies on device (parallel.lines
+        make_stacked_pedestal_remover: only [B, N] endpoint values visit
+        the host); under a mesh the launch is line-sharded over "spec".
 
         Args:
             vmr_by_gas: dict name -> [B] mole fractions (insertion order
                 fixes the gas order).
             backend: override ("pallas"/"xla"); default = the gases'
-                resolved backend, falling back to per-gas dispatch (empty
+                resolved backend, falling back to per-gas dispatch (None
                 result) unless every stackable gas resolves to "pallas".
 
         Returns:
-            dict name -> [B, num_points] float64 cross sections [m2] on
-            the internal grid, or {} when the stacked path does not apply.
+            (names, k_dev) with ``names`` the stacked gas order and
+            ``k_dev`` a device [B, G, num_points] float32 array of cross
+            sections [m2] on the internal grid, or None when the stacked
+            path does not apply.
         """
-        from .models.lines.gas import internal_grid
-        from .models.lines.pedestal import (apply_pedestal_batch,
-                                            compute_pedestals_batch)
-        from .models.lines.physics import (kernel_inputs,
-                                           line_profile_params)
         from .parallel.lines import (UnstackableError,
-                                     make_multigas_batched_fn)
-        from .utils.constants import DEFAULT_CUT_OFF
+                                     make_multigas_batched_fn,
+                                     make_stacked_pedestal_remover)
 
         packs = {}
         for name in vmr_by_gas:
@@ -317,37 +311,149 @@ class Spectroscopy:
             if gas is None:
                 continue
             if not hasattr(gas, "pack"):
-                return {}
-            if backend is None and gas._resolve_backend() != "pallas":
-                return {}
+                # A third-party engine without packed arrays: under a mesh
+                # stack the stackable gases (the per-gas paths cover the
+                # rest); single-chip, defer entirely to per-gas dispatch.
+                if self.mesh is None:
+                    return None
+                continue
+            if self.mesh is None and backend is None \
+                    and gas._resolve_backend() != "pallas":
+                return None
             packs[name] = gas.pack
         if not packs:
-            return {}
+            return None
         key = (float(self.grid[0]), float(self.grid[-1]), self.grid.size,
-               tuple(packs), backend, interpret, self._envelope)
-        fn = self._multigas_fns.get(key)
-        if fn is None:
+               tuple(packs), backend, interpret, self._envelope,
+               bool(remove_pedestal))
+        cached = self._multigas_fns.get(key)
+        if cached == "unstackable":
+            return None
+        if cached is None:
             try:
-                fn = make_multigas_batched_fn(
-                    packs, self.grid, backend=backend or "pallas",
-                    t_max=self._envelope[0],
-                    p_max_atm=self._envelope[1],
-                    interpret=interpret)
+                if self.mesh is not None:
+                    from .parallel.lines import \
+                        make_multigas_sharded_pipeline
+                    pipeline = make_multigas_sharded_pipeline(
+                        packs, self.grid, self.mesh,
+                        mode=self.sharding_mode,
+                        remove_pedestal=remove_pedestal,
+                        weight_density=False)
+
+                    def fn(t, p, x):
+                        return pipeline.device(t, p, x)
+                else:
+                    fn = make_multigas_batched_fn(
+                        packs, self.grid, backend=backend or "pallas",
+                        t_max=self._envelope[0],
+                        p_max_atm=self._envelope[1],
+                        interpret=interpret)
             except UnstackableError:
-                return {}
-            self._multigas_fns[key] = fn
-        vmr_mat = np.stack([np.asarray(v, np.float64)
-                            for v in vmr_by_gas.values()], axis=1)
-        vmr_mat = vmr_mat[:, [i for i, n in enumerate(vmr_by_gas)
-                              if n in packs]]
-        k = np.asarray(fn(temperature.astype(np.float32),
-                          pressure.astype(np.float32),
-                          vmr_mat.astype(np.float32)), np.float64)
-        if remove_pedestal:
-            from .parallel.lines import remove_stacked_pedestal
-            k = remove_stacked_pedestal(packs, self.grid, k, temperature,
-                                        pressure, vmr_mat)
-        return {name: k[:, g] for g, name in enumerate(packs)}
+                self._multigas_fns[key] = "unstackable"
+                return None
+            remover = make_stacked_pedestal_remover(packs, self.grid) \
+                if remove_pedestal and self.mesh is None else None
+            cached = (fn, remover, list(packs))
+            self._multigas_fns[key] = cached
+        fn, remover, names = cached
+        num = temperature.size
+        vmr_mat = np.stack([np.asarray(vmr_by_gas[n], np.float64)
+                            for n in names], axis=1)
+        if self.mesh is not None:
+            temperature, pressure, vmr_mat = self._pad_mesh_batch(
+                temperature, pressure, vmr_mat)
+        k = fn(temperature.astype(np.float32),
+               pressure.astype(np.float32),
+               vmr_mat.astype(np.float32))
+        if remover is not None:
+            k = remover(k, temperature, pressure, vmr_mat)
+        return names, k[:num]
+
+    def _compute_lines_stacked(self, temperature, pressure, vmr_by_gas,
+                               remove_pedestal, backend=None,
+                               interpret=False):
+        """Host-materialized view of :meth:`_lines_device_stacked`.
+
+        Returns:
+            dict name -> [B, num_points] float64 cross sections [m2] on
+            the internal grid, or {} when the stacked path does not apply.
+        """
+        out = self._lines_device_stacked(temperature, pressure, vmr_by_gas,
+                                         remove_pedestal, backend=backend,
+                                         interpret=interpret)
+        if out is None:
+            return {}
+        names, k_dev = out
+        k = np.asarray(k_dev, np.float64)
+        return {name: k[:, g] for g, name in enumerate(names)}
+
+    def _compute_absorption_reduced(self, output_format, temperature,
+                                    pressure, vmr_by_gas, remove_pedestal,
+                                    shape):
+        """Device-reduced "gas"/"total" output formats.
+
+        Per-gas mechanism sums (lines x density + continuum + xsec x
+        density) combine on device and only [B, grid] arrays reach the
+        host — the per-gas [B, 3, grid] mechanism arrays of the "all"
+        format are never materialized (the reference always builds them
+        and sums on host, reference spectroscopy.py:208-235): host-memory
+        high water and transfer drop ~3G-fold for the most common
+        large-run formats.
+
+        Returns:
+            Dataset, or None when some gas's lines cannot take the
+            stacked device path (the caller falls back to the host path).
+        """
+        import jax.numpy as jnp
+
+        names = list(self.atmosphere.gases)
+        has_lines = [n for n in names if self.cache[n].gas is not None]
+        stacked = self._lines_device_stacked(temperature, pressure,
+                                             vmr_by_gas, remove_pedestal)
+        stacked_names, k_dev = stacked if stacked is not None else ([], None)
+        if any(n not in stacked_names for n in has_lines):
+            return None
+        ngrid = self.grid.size
+        per_gas = {}
+        for name in names:
+            nd = number_density(temperature, pressure, vmr_by_gas[name])
+            parts = []
+            if name in stacked_names:
+                g = stacked_names.index(name)
+                parts.append(jnp.asarray(nd[:, None], k_dev.dtype)
+                             * k_dev[:, g, :ngrid])
+            cont_fns, xsec_fn = self._device_mechanism_fns(name)
+            if cont_fns is not None:
+                for fn in cont_fns:
+                    parts.append(fn(temperature, pressure, vmr_by_gas))
+            if xsec_fn is not None:
+                parts.append(jnp.asarray(nd[:, None])
+                             * xsec_fn(temperature, pressure))
+            total = parts[0] if parts else jnp.zeros(
+                (temperature.size, ngrid), jnp.float32)
+            for part in parts[1:]:
+                total = total + part
+            per_gas[name] = total
+
+        wavenumber = DataArray(self.grid, dims=("wavenumber",),
+                               attrs={"units": "cm-1"})
+        data_vars = {"wavenumber": wavenumber}
+        dims = list(self.output.dims)
+        dims.pop(-2)
+        out_shape = shape + (ngrid,)
+        if output_format == "gas":
+            for name, total in per_gas.items():
+                data_vars[f"{name}_absorption"] = DataArray(
+                    np.asarray(total, np.float64).reshape(out_shape),
+                    dims=dims, attrs=self.output.units)
+        else:
+            total = None
+            for part in per_gas.values():
+                total = part if total is None else total + part
+            data_vars["absorption"] = DataArray(
+                np.asarray(total, np.float64).reshape(out_shape),
+                dims=dims, attrs=self.output.units)
+        return Dataset(data_vars=data_vars)
 
     def compute_absorption(self, output_format="all", remove_pedestal=None):
         """Computes absorption [m-1] for every gas/layer/mechanism.
@@ -383,11 +489,16 @@ class Spectroscopy:
         vmr_by_gas = {
             name: np.asarray(mf.data, dtype=np.float64).ravel()
             for name, mf in self.atmosphere.gases.items()}
-        if self.mesh is not None:
-            lines_stacked = self._compute_lines_sharded(
-                temperature, pressure, vmr_by_gas, remove_pedestal)
-        else:
-            lines_stacked = self._compute_lines_stacked(
+        if output_format != "all" and self.device_mechanisms:
+            reduced = self._compute_absorption_reduced(
+                output_format, temperature, pressure, vmr_by_gas,
+                remove_pedestal, shape)
+            if reduced is not None:
+                return reduced
+        lines_stacked = self._compute_lines_stacked(
+            temperature, pressure, vmr_by_gas, remove_pedestal)
+        if not lines_stacked and self.mesh is not None:
+            lines_stacked = self._compute_lines_sharded_pergas(
                 temperature, pressure, vmr_by_gas, remove_pedestal)
         for name, mole_fraction in self.atmosphere.gases.items():
             varname = f"{name}_absorption"
@@ -483,11 +594,10 @@ class Spectroscopy:
                 t_blk = temperature[idx]
                 p_blk = pressure[idx]
                 vmr_blk = {x: v[idx] for x, v in vmr_full.items()}
-                if self.mesh is not None:
-                    lines_stacked = self._compute_lines_sharded(
-                        t_blk, p_blk, vmr_blk, remove_pedestal)
-                else:
-                    lines_stacked = self._compute_lines_stacked(
+                lines_stacked = self._compute_lines_stacked(
+                    t_blk, p_blk, vmr_blk, remove_pedestal)
+                if not lines_stacked and self.mesh is not None:
+                    lines_stacked = self._compute_lines_sharded_pergas(
                         t_blk, p_blk, vmr_blk, remove_pedestal)
                 blocks = {}
                 for name in names:

@@ -99,6 +99,37 @@ def test_device_mechanisms_parity(database, atmosphere_dataset,
                                    atol=a.max() * 1e-14)
 
 
+def test_reduced_formats_device(database, atmosphere_dataset, coarse_grid):
+    """Under a mesh with device mechanisms, "gas"/"total" reduce on device
+    (per-gas mechanism arrays never materialize on host) and match the
+    host-summed "all" output within the f32 lines tolerance."""
+    from pylbl_tpu.parallel import make_mesh
+
+    db, _ = database
+    mesh = make_mesh(batch=2, spec=4)
+    dev = Spectroscopy(atmosphere_dataset, coarse_grid, db, mesh=mesh,
+                       device_mechanisms=True)
+    host = Spectroscopy(atmosphere_dataset, coarse_grid, db,
+                        device_mechanisms=False)
+    full = host.compute_absorption(output_format="all")
+    gases = ["H2O", "CO2", "CH4", "O3", "N2O", "CO", "O2", "N2"]
+    want_total = sum(np.sum(full.data_vars[f"{g}_absorption"].data,
+                            axis=-2) for g in gases)
+    got_total = dev.compute_absorption(output_format="total")
+    got_gas = dev.compute_absorption(output_format="gas")
+    scale = np.abs(want_total).max()
+    rel = np.abs(got_total.data_vars["absorption"].data - want_total) \
+        / np.maximum(np.abs(want_total), scale * 1e-6)
+    assert rel.max() < 5e-4
+    assert got_total.data_vars["absorption"].dims == \
+        ("layer", "wavenumber")
+    want_h2o = np.sum(full.data_vars["H2O_absorption"].data, axis=-2)
+    scale = np.abs(want_h2o).max()
+    rel = np.abs(got_gas.data_vars["H2O_absorption"].data - want_h2o) \
+        / np.maximum(np.abs(want_h2o), scale * 1e-6)
+    assert rel.max() < 5e-4
+
+
 def test_bad_backend_names(database, atmosphere_dataset, coarse_grid):
     db, _ = database
     for kwargs in [dict(lines_backend="foo"), dict(continua_backend="foo"),
