@@ -607,6 +607,350 @@ def _pallas_rows_pass(groups, start, nchunks, num_points, tile,
     return out.reshape(padded_points)[:num_points]
 
 
+# --- Segment-32 core pass ---------------------------------------------------
+#
+# Successor to the rows formulation, removing its two measured overheads
+# (on a v5e, splat + mask alone cost ~76% of the rows pass):
+#
+# - Parameters live LANE-major: a chunk of 128 instances occupies an
+#   (8, 128) block with one field per sublane row, so the math block
+#   val[p, i] (8 window points x 128 instances) uses the fields directly
+#   as (1, 128) rows — the 56-select per-group splat disappears.
+# - Instances are (line, aligned 32-point segment) instead of (line,
+#   128-point row): the expensive correction math runs on 32 points per
+#   instance instead of 128 (core windows are typically ~15 points), and
+#   any instance can sit in any lane of its segment's stream, so the
+#   8-row max-padding of the group formulation (~34% dead slots measured)
+#   disappears too.
+# - Accumulation: a lane-sum of the (8, chunk) val block gives the
+#   chunk's 8 window points as an (8, 1) column, inserted into a
+#   TRANSPOSED tile accumulator acc[p, m] (point = tile*T + 8*m + p) at
+#   the per-chunk-constant column m = 4*slot + k.  One cheap XLA
+#   transpose after the kernel restores natural layout.
+# - The Humlicek y-class branch runs per chunk on the lane-min of the y
+#   row; instances are y-sorted within each segment stream, so chunks
+#   stay class-homogeneous.
+
+SEG = 32                  # aligned segment width in points.
+SEGP_ROWS = 8             # param rows per instance (7 fields + pad).
+(SR_SEG0REL, SR_CFRAC, SR_SRW, SR_Y, SR_PREF, SR_SREL,
+ SR_EREL) = range(7)
+
+
+def build_core_segments(core_start, core_end, num_points,
+                        tile=DEFAULT_TILE, seg=SEG, chunk=ROWS_CHUNK,
+                        sort_key=None):
+    """Packs per-line core windows into aligned 32-point segment streams.
+
+    Args:
+        core_start / core_end: [N] inclusive core-window point ranges
+            (entries with end < start are dropped).
+        num_points: grid size.
+        tile: output tile width in points (must be a multiple of seg).
+        chunk: instances per DMA chunk (lane width).
+        sort_key: optional [N] key (typically y); instances within each
+            segment stream are ordered by *descending* key so chunks are
+            y-class homogeneous.
+
+    Returns:
+        (inst_line [I_pad] int64 with -1 dead lanes,
+         seg0 [I_pad] int64 segment base points,
+         tile_start [T] int32 first chunk index per tile,
+         tile_chunks [T] int32 chunk count per tile,
+         chunk_slot [C] int32 segment slot (seg0 % tile) // seg per chunk).
+    """
+    core_start = np.asarray(core_start)
+    core_end = np.asarray(core_end)
+    cs = np.clip(core_start, 0, num_points - 1)
+    ce = np.clip(core_end, 0, num_points - 1)
+    valid = (core_end >= core_start) & (core_end >= 0) \
+        & (core_start < num_points)
+    s0 = cs // seg
+    s1 = ce // seg
+    counts = np.where(valid, s1 - s0 + 1, 0).astype(np.int64)
+    num_tiles = -(-num_points // tile)
+    slots_per_tile = tile // seg
+    n_streams = num_tiles * slots_per_tile
+
+    inst_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off = np.arange(inst_of.size, dtype=np.int64) - np.repeat(starts, counts)
+    segidx = s0[inst_of] + off
+
+    if sort_key is not None:
+        key = -np.asarray(sort_key, np.float64)[inst_of]   # descending y
+        order = np.lexsort((key, segidx))
+    else:
+        order = np.argsort(segidx, kind="stable")
+    segidx_s = segidx[order]
+    lines_s = inst_of[order]
+
+    stream_counts = np.bincount(segidx_s, minlength=n_streams)
+    stream_chunks = -(-stream_counts // chunk)
+    stream_pad = stream_chunks * chunk
+    col_start = np.concatenate(([0], np.cumsum(stream_pad)[:-1]))
+    total = int(stream_pad.sum())
+
+    size = max(total, chunk)
+    inst_line = np.full(size, -1, dtype=np.int64)
+    seg0 = np.zeros(size, dtype=np.int64)
+    if segidx_s.size:
+        stream_first = np.concatenate(([0], np.cumsum(stream_counts)[:-1]))
+        pos = np.arange(segidx_s.size, dtype=np.int64) \
+            - stream_first[segidx_s]
+        inst_line[col_start[segidx_s] + pos] = lines_s
+    if total:
+        seg0[:total] = np.repeat(
+            np.arange(n_streams, dtype=np.int64) * seg, stream_pad)
+
+    chunks_per_tile = stream_chunks.reshape(num_tiles,
+                                            slots_per_tile).sum(axis=1)
+    tile_start = np.concatenate(([0], np.cumsum(chunks_per_tile)[:-1]))
+    slot_of_stream = np.arange(n_streams, dtype=np.int64) % slots_per_tile
+    chunk_slot = np.repeat(slot_of_stream, stream_chunks).astype(np.int32)
+    if chunk_slot.size == 0:
+        chunk_slot = np.zeros(1, np.int32)
+    return (inst_line, seg0, tile_start.astype(np.int32),
+            chunks_per_tile.astype(np.int32), chunk_slot)
+
+
+def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
+    """Builds the ([B,] 8, I_pad) f32 lane-major segment-parameter block.
+
+    Row layout (one field per sublane, instances on lanes):
+    seg0_rel = seg0 - c_int (exact small f32 integer), c_frac,
+    scaled_repwid, y, prefactor, s_rel = s_idx - seg0, e_rel = e_idx -
+    seg0, zero pad.  In-kernel x = ((seg0_rel + o) - c_frac) * srw with
+    o = 8k + p reproduces the rows kernel's ((point - c_int) - c_frac)
+    bit-exactly (seg0_rel + o is an exact integer add).  Dead lanes
+    (inst_line < 0) get (0, 0, 1, 100, 0, 1, -1): empty window, y above
+    the pure-Lorentz threshold.  Works with numpy (host plan) or jnp
+    (device, layer-batched) — one [N, 8] row gather like
+    :func:`gather_group_params`.
+    """
+    fields = (("c_int", 0.0), ("c_frac", 0.0), ("scaled_repwid", 1.0),
+              ("y", 100.0), ("prefactor", 0.0), ("s_idx", 1.0),
+              ("e_idx", -1.0))
+    mat = xp.stack(
+        [kernel_arrays[name].astype(xp.float32) for name, _ in fields]
+        + [xp.zeros_like(kernel_arrays["y"], dtype=xp.float32)],
+        axis=-1)                                     # [..., N, 8]
+    idx = xp.maximum(xp.asarray(inst_line), 0)
+    g = mat[..., idx, :]                             # [..., I, 8]
+    seg0f = xp.asarray(seg0).astype(xp.float32)
+    vals = xp.stack([
+        seg0f - g[..., 0],                           # seg0_rel
+        g[..., 1],                                   # c_frac
+        g[..., 2],                                   # srw
+        g[..., 3],                                   # y
+        g[..., 4],                                   # pref
+        g[..., 5] - seg0f,                           # s_rel
+        g[..., 6] - seg0f,                           # e_rel
+        xp.zeros_like(seg0f) + xp.zeros_like(g[..., 7]),
+    ], axis=-2)                                      # [..., 8, I]
+    fills = xp.asarray([0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0],
+                       xp.float32)
+    dead = xp.asarray(inst_line) < 0
+    return xp.where(dead[..., None, :] if dead.ndim == 1
+                    else dead[..., None, :],
+                    fills[:, None], vals)
+
+
+def _seg_chunk_accumulate(blk, col, m_base, acc, chunk):
+    """Accumulates one 128-instance chunk into the transposed tile block.
+
+    blk: (8, chunk) lane-major params; acc: (8, lanes) transposed
+    accumulator; m_base: the chunk's segment column (4 * slot).
+    """
+    seg0_rel = blk[SR_SEG0REL:SR_SEG0REL + 1, :]
+    c_frac = blk[SR_CFRAC:SR_CFRAC + 1, :]
+    srw = blk[SR_SRW:SR_SRW + 1, :]
+    y = blk[SR_Y:SR_Y + 1, :]
+    pref = blk[SR_PREF:SR_PREF + 1, :]
+    s_rel = blk[SR_SREL:SR_SREL + 1, :]
+    e_rel = blk[SR_EREL:SR_EREL + 1, :]
+    ymin = jnp.min(y)
+    p_sub = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), dimension=0)
+
+    def with_correction(corr_fn):
+        def go():
+            out = acc
+            for k in range(4):
+                o = (p_sub + jnp.int32(8 * k)).astype(jnp.float32)
+                x = ((seg0_rel + o) - c_frac) * srw
+                val = corr_fn(x, y)
+                mask = (o >= s_rel) & (o <= e_rel)
+                val = jnp.where(mask, pref * val, 0.0)
+                s = jnp.sum(val, axis=1, keepdims=True)        # (8, 1)
+                out = out + jnp.where(col == m_base + jnp.int32(k), s, 0.0)
+            return out
+        return go
+
+    return jax.lax.cond(
+        ymin >= 70.55, lambda: acc,
+        lambda: jax.lax.cond(
+            ymin >= 8.425, with_correction(voigt_correction_k1),
+            lambda: jax.lax.cond(
+                ymin >= 6.8, with_correction(voigt_correction_k12),
+                lambda: jax.lax.cond(
+                    ymin >= 2.0, with_correction(voigt_correction_k123),
+                    with_correction(voigt_correction)))))
+
+
+def _seg_kernel(chunk, tile, start_ref, nchunks_ref, slot_ref, params_ref,
+                out_ref, buf, sems):
+    t = pl.program_id(0)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            (base + jnp.asarray(k, jnp.int32)) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            params_ref.at[:, pl.ds(offset, chunk)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+        m_base = slot_ref[base + k] * jnp.int32(4)
+        return _seg_chunk_accumulate(buf[slot], col, m_base, acc, chunk)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None]
+
+
+def _seg_kernel_batched(chunk, tile, start_ref, nchunks_ref, slot_ref,
+                        params_ref, out_ref, buf, sems):
+    """(layer, tile) grid over [B, 8, I] params with shared [T] CSR."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            (base + jnp.asarray(k, jnp.int32)) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            params_ref.at[b, :, pl.ds(offset, chunk)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+        m_base = slot_ref[base + k] * jnp.int32(4)
+        return _seg_chunk_accumulate(buf[slot], col, m_base, acc, chunk)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None, None]
+
+
+def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
+                     num_points, tile, chunk=ROWS_CHUNK, interpret=False):
+    """Segment-32 core pass; [num_points] (or [B, num_points]) natural
+    layout (the kernel accumulates transposed; one XLA transpose after)."""
+    num_tiles = -(-num_points // tile)
+    lanes = tile // 8
+    batched = params.ndim == 3
+    if batched:
+        num_layers = params.shape[0]
+        kernel = functools.partial(_seg_kernel_batched, chunk, tile)
+        grid = (num_layers, num_tiles)
+        out_spec = pl.BlockSpec(
+            (1, 1, 8, lanes),
+            lambda b, t, *_: (b, t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (num_layers, num_tiles, 8, lanes), jnp.float32)
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        kernel = functools.partial(_seg_kernel, chunk, tile)
+        grid = (num_tiles,)
+        out_spec = pl.BlockSpec(
+            (1, 8, lanes),
+            lambda t, *_: (t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((num_tiles, 8, lanes),
+                                         jnp.float32)
+        semantics = ("arbitrary",)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, SEGP_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
+        ),
+    )(tile_start, tile_chunks, chunk_slot, params)
+    # Transposed accumulator: point = tile*T + 8*m + p.
+    if batched:
+        out = out.transpose(0, 1, 3, 2).reshape(num_layers,
+                                                num_tiles * tile)
+        return out[:, :num_points]
+    out = out.transpose(0, 2, 1).reshape(num_tiles * tile)
+    return out[:num_points]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_points", "tile", "chunk",
+                                    "seg_chunk", "interpret"))
+def _pallas_wings_seg(soa, w_start, w_n, params, t_start, t_chunks, c_slot,
+                      num_points, tile, chunk, seg_chunk, interpret=False):
+    """Wings (scalar-line kernel) + core (segment-32 kernel), one program."""
+    out = _pallas_pass(soa, w_start, w_n, num_points, tile, chunk, "wings",
+                       interpret)
+    return out + _pallas_seg_pass(params, t_start, t_chunks, c_slot,
+                                  num_points, tile, seg_chunk, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_points", "tile", "chunk",
+                                    "seg_chunk", "interpret"))
+def _pallas_wings_seg_batched(soa, w_start, w_n, params, t_start, t_chunks,
+                              c_slot, num_points, tile, chunk, seg_chunk,
+                              interpret=False):
+    out = _pallas_pass_batched(soa, w_start, w_n, num_points, tile, chunk,
+                               "wings", interpret)
+    return out + _pallas_seg_pass(params, t_start, t_chunks, c_slot,
+                                  num_points, tile, seg_chunk, interpret)
+
+
 def _tile_kernel(line_fn, chunk, tile, start_ref, nchunks_ref, lines_ref,
                  out_ref, buf, sems):
     """One grid step: accumulate all of one tile's line chunks.

@@ -126,6 +126,121 @@ def test_gather_group_params_dead_slots():
     assert np.all(c_rows[live] == arrays["c_int"][inst[live]])
 
 
+def test_build_core_segments_covers_every_instance():
+    """Every (line, 32-point segment) the core window touches must land in
+    exactly one lane of that segment's stream, inside the right tile."""
+    from pylbl_tpu.ops.lineshape_pallas import SEG, build_core_segments
+
+    rng = np.random.default_rng(5)
+    n_lines, num_points, tile, chunk = 400, 5000, 256, 128
+    center = np.sort(rng.integers(-40, num_points + 40, n_lines))
+    half = rng.integers(0, 2 * SEG, n_lines)
+    cs, ce = center - half, center + half
+    inst_line, seg0, t_start, t_chunks, c_slot = build_core_segments(
+        cs, ce, num_points, tile=tile, chunk=chunk)
+    assert inst_line.size % chunk == 0
+    assert c_slot.size >= inst_line.size // chunk
+    seen = {}
+    for i in range(inst_line.size):
+        line = inst_line[i]
+        if line < 0:
+            continue
+        key = (int(line), int(seg0[i]) // SEG)
+        assert key not in seen, "duplicate instance"
+        seen[key] = True
+        # The lane's chunk must be inside its segment's tile range and
+        # carry the right slot id.
+        k = i // chunk
+        t = int(seg0[i]) // tile
+        assert t_start[t] <= k < t_start[t] + t_chunks[t]
+        assert c_slot[k] == (int(seg0[i]) % tile) // SEG
+    for i in range(n_lines):
+        lo = max(cs[i], 0)
+        hi = min(ce[i], num_points - 1)
+        if ce[i] < cs[i] or hi < 0 or lo >= num_points:
+            continue
+        for s in range(lo // SEG, hi // SEG + 1):
+            assert (i, s) in seen, f"missing instance line={i} seg={s}"
+
+
+def test_seg_pass_matches_scalar_core():
+    """The segment-32 core pass must match the scalar core pass per point
+    up to addition order."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 256, 128
+    soa, _ = pack_lines_soa(arrays, chunk)
+    s = arrays["s_idx"].astype(np.int64)
+    e = arrays["e_idx"].astype(np.int64)
+    from pylbl_tpu.ops.lineshape import core_halfwidth
+    core_w = core_halfwidth({"y": kin["y"], "repwid": kin["repwid"]},
+                            npv, 25)
+    center = np.rint(arrays["c_int"]).astype(np.int64)
+    c_start, c_n = tile_line_ranges(np.maximum(center - core_w, s),
+                                    np.minimum(center + core_w, e),
+                                    n, tile, chunk)
+    scalar = np.asarray(lp._pallas_pass(
+        jax.device_put(soa), c_start, c_n, int(n), tile, chunk, "core",
+        interpret=True))
+    cs, ce = lp.core_instance_windows(arrays, kin, n, npv, 25)
+    inst_line, seg0, t_start, t_chunks, c_slot = lp.build_core_segments(
+        cs, ce, n, tile=tile, chunk=chunk, sort_key=arrays["y"])
+    params = lp.gather_segment_params(arrays, inst_line, seg0)
+    got = np.asarray(lp._pallas_seg_pass(
+        jax.device_put(params), t_start, t_chunks, c_slot, int(n), tile,
+        chunk, interpret=True))
+    scale = np.abs(scalar).max()
+    np.testing.assert_allclose(got, scalar, atol=scale * 1e-6)
+
+
+def test_seg_pass_batched_matches_per_layer():
+    """Layer-batched segment pass == per-layer segment pass."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    pack = synthetic_line_pack(num_lines=90, nu_min=30.0, nu_max=280.0,
+                               seed=7, band_centers=(150.0,))
+    grid = np.arange(50.0, 250.0, 0.2)
+    v0, vn, npv, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, 25)
+    conds = [(250.0, 80000.0, 0.004), (288.99, 98388.0, 6.637074e-03)]
+    kins, arrs = [], []
+    for t, p, x in conds:
+        params = line_profile_params(pack, t, p, x, keep=keep)
+        kin = kernel_inputs(params, v0, npv, 25)
+        kins.append(kin)
+        arrs.append(lineshape.prepare_kernel_arrays(kin, npv, np.float32))
+    tile, chunk = 256, 128
+    batched = {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
+    # Shared union windows across layers (mirrors accumulate_tpu_batched).
+    s_idx = batched["s_idx"].astype(np.int64)
+    e_idx = batched["e_idx"].astype(np.int64)
+    center = np.rint(batched["c_int"]).astype(np.int64)
+    from pylbl_tpu.ops.lineshape import core_halfwidths
+    core_w = core_halfwidths(
+        np.stack([k["repwid"] for k in kins]).min(axis=0), npv, 25)
+    cs = np.maximum(center - core_w, s_idx).min(axis=0)
+    ce = np.minimum(center + core_w, e_idx).max(axis=0)
+    all_lorentz = (batched["y"].astype(np.float32) >= 70.55).all(axis=0)
+    ce = np.where(all_lorentz, cs - 1, ce)
+    inst_line, seg0, t_start, t_chunks, c_slot = lp.build_core_segments(
+        cs, ce, n, tile=tile, chunk=chunk,
+        sort_key=np.asarray(batched["y"]).min(axis=0))
+    params_b = lp.gather_segment_params(batched, inst_line, seg0)
+    got = np.asarray(lp._pallas_seg_pass(
+        jax.device_put(params_b), t_start, t_chunks, c_slot, int(n), tile,
+        chunk, interpret=True))
+    for b in range(len(conds)):
+        params_1 = lp.gather_segment_params(arrs[b], inst_line, seg0)
+        want = np.asarray(lp._pallas_seg_pass(
+            jax.device_put(params_1), t_start, t_chunks, c_slot, int(n),
+            tile, chunk, interpret=True))
+        np.testing.assert_array_equal(got[b], want)
+
+
 def test_rows_pass_matches_scalar_core(tmp_path):
     """The rows-formulation core pass must match the scalar core pass
     bit-for-bit per point up to addition order (compare at f64-ish tol)."""

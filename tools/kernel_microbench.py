@@ -105,6 +105,39 @@ def main():
                                    (jnp.float32(0), groups_d))
         return acc
 
+    seg_inst, seg0, t_start, t_chunks, c_slot = lp.build_core_segments(
+        cs_w, ce_w, n, tile=tile, chunk=lp.ROWS_CHUNK,
+        sort_key=arrays["y"])
+    seg_params = lp.gather_segment_params(arrays, seg_inst, seg0)
+    params_d, ts_d, tc_d, slot_d = map(
+        jax.device_put, (seg_params, t_start, t_chunks, c_slot))
+
+    @jax.jit
+    def seg_core(reps):
+        def body(i, carry):
+            acc, p = carry
+            p = jnp.where(acc >= -1.0, p, 0.0)
+            out = lp._pallas_seg_pass(p, ts_d, tc_d, slot_d, int(n), tile,
+                                      lp.ROWS_CHUNK)
+            return (acc + jnp.sum(out) * jnp.float32(1e-30), p)
+        acc, _ = jax.lax.fori_loop(0, reps, body,
+                                   (jnp.float32(0), params_d))
+        return acc
+
+    @jax.jit
+    def two_pass_seg(reps):
+        def body(i, carry):
+            acc, s, p = carry
+            s = jnp.where(acc >= -1.0, s, 0.0)
+            p = jnp.where(acc >= -1.0, p, 0.0)
+            out = lp._pallas_pass(s, ws, wn, int(n), tile, chunk, "wings")
+            out = out + lp._pallas_seg_pass(p, ts_d, tc_d, slot_d, int(n),
+                                            tile, lp.ROWS_CHUNK)
+            return (acc + jnp.sum(out) * jnp.float32(1e-30), s, p)
+        acc, _, _ = jax.lax.fori_loop(0, reps, body,
+                                      (jnp.float32(0), soa_d, params_d))
+        return acc
+
     ymin = lp.group_min_y(groups)
     ymin_d = jax.device_put(ymin)
 
@@ -134,12 +167,18 @@ def main():
 
     evals = keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
     slots = int(g_n.sum()) * lp.ROWS_CHUNK * 8
+    seg_slots = int(seg_inst.size)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name, fn, visits in [
             ("wings", make("wings", ws, wn), int(w_n.sum()) * chunk),
             ("core-scalar", make("core", cs, cn), int(c_n.sum()) * chunk),
             ("core-rows", rows_core, slots),
             ("core-rows-vmem", rows_core_vmem, slots),
-            ("two-pass", two_pass, None)]:
+            ("core-seg", seg_core, seg_slots),
+            ("two-pass", two_pass, None),
+            ("two-pass-seg", two_pass_seg, None)]:
+        if only is not None and name not in only:
+            continue
         dt = chained_time(fn, reps)
         line = f"{name:12s} {dt * 1e3:8.2f} ms/spectrum"
         if visits:
