@@ -14,16 +14,24 @@ call), and the per-spectrum time is the difference between R=1 and R=R+1
 around a single 4-byte readback sync.  Anything simpler measures the axon
 tunnel (~30 ms RPC round-trip per sync), not the device.
 
-vs_baseline: ratio against the reference C implementation's single-core
-rate, measured live by running the unmodified reference voigt.c/spectra.c
-(compiled via tests/oracle) on a subsample of the same workload.
+vs_baseline: ratio against the PINNED reference C single-core rate on the
+identical workload (BASELINE.md "Pinned C baseline"); the live-measured C
+rate for this run is carried in extra (round-2 lesson: a 20k-line
+subsample fits in cache and flatters the C code ~2x, so the pin uses the
+full 300k-line pack).
 
-Beyond the headline, "extra" carries (each guarded by a deadline so the
-headline always prints):
+Each stage shares its compiled program with its parity check (the chained
+timing loop returns the final spectrum), so the whole run fits the driver
+budget — round 2 starved the extras behind six separate remote compiles.
+"extra" carries (each stage deadline-guarded so the headline always
+prints):
 - max abs/rel error of the Pallas float32 spectrum vs the reference C
-  oracle on a 20k-line subsample of the same workload;
-- the production layer-batched pipeline rate (4 layers, one launch);
+  oracle on the FULL headline workload;
+- the production layer-batched pipeline rate (4 layers, one launch) and
+  its per-layer oracle parity, from the same compile;
 - the gas-stacked pipeline rate (7 gases in ONE launch vs 7);
+- config-5 at scale: 500k-point grid x 16 layers x 7 gases, stacked
+  total-format launches streamed to a resumable file (points/s + bytes);
 - multi-device scaling of the line-sharded step on a virtual 8-device CPU
   mesh (subprocess; work-model efficiency per BASELINE).
 
@@ -35,6 +43,7 @@ import os
 import signal
 import subprocess
 import sys
+import tempfile
 import time
 from contextlib import contextmanager
 from pathlib import Path
@@ -58,6 +67,13 @@ VMR = 6.637074e-03
 CUT_OFF = 25
 DEADLINE_S = 600.0  # extras stop starting after this much wall time.
 _T0 = time.perf_counter()
+
+# Reference C single-core rate on the FULL headline workload (300k-line
+# pack seed 1, grid 1-5000 @0.1, surface layer, min-of-5 on an idle
+# host) — see BASELINE.md "Pinned C baseline".  vs_baseline divides by
+# this constant so the headline ratio is comparable across rounds; the
+# live re-measurement is reported alongside in extra.
+PINNED_C_EVALS_PER_S = 4.68e8
 
 
 def over_deadline():
@@ -98,6 +114,8 @@ def window_evals(keep, n_per_v):
 
 
 def tpu_rate(pack, grid, reps=10):
+    """Headline rate AND the float32 spectrum the timed program computed
+    (one compile serves both the rate and the oracle parity)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,75 +136,68 @@ def tpu_rate(pack, grid, reps=10):
             s = jnp.where(acc >= -1.0, s, 0.0)  # true loop dependence
             g = jnp.where(acc >= -1.0, g, 0.0)
             out = plan.run_with(s, g)
-            return (acc + out[0], s, g)
+            # Full-output reduce: a single-element read would let XLA
+            # dead-code-eliminate any non-Pallas stage of the program.
+            return (acc + jnp.sum(out) * jnp.float32(1e-30), s, g)
         acc, _, _ = jax.lax.fori_loop(0, nreps, body,
                                       (jnp.float32(0), soa, groups))
-        return acc
+        return acc, plan.run_with(soa, groups)
 
-    float(chained(plan.soa, plan.groups, 1))    # compile
+    def run(nreps):
+        acc, out = chained(plan.soa, plan.groups, nreps)
+        return float(acc), out
+
+    _, out = run(1)                             # compile
     t0 = time.perf_counter()
-    float(chained(plan.soa, plan.groups, 1))
+    run(1)
     one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chained(plan.soa, plan.groups, reps + 1))
+    run(reps + 1)
     many = time.perf_counter() - t0
     per_spectrum = max((many - one) / reps, 1e-9)
-    max_k = float(np.asarray(plan()).max())
+    spectrum = np.asarray(out, np.float64)
+    assert np.isfinite(spectrum).all() and spectrum.max() > 0
     return window_evals(keep, n_per_v) / per_spectrum, \
-        n / per_spectrum, max_k
+        n / per_spectrum, spectrum
 
 
-def reference_rate(grid, num_lines=20000):
-    """Single-core rate of the unmodified reference C code (lines/s scaled
-    to evals/s on the same window size)."""
+def reference_rate(pack, grid):
+    """Single-core rate of the unmodified reference C code on the FULL
+    headline workload (identical lines + grid as the TPU stage), plus the
+    oracle spectrum for parity.  Returns (rate or None, spectrum or None)."""
     try:
         import oracle
         if not oracle.available():
-            return None
-        pack = synthetic_line_pack(
-            num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
-            band_centers=(150.0, 1600.0, 3700.0, 500.0))
+            return None, None
         v0, vn, n_per_v, _ = internal_grid(grid)
         keep = pack.compat_break_filter(v0, vn, CUT_OFF)
-        best = np.inf  # min of 3: robust to host CPU contention.
-        for _ in range(3):
+        best = np.inf  # min of 5: robust to host CPU contention.
+        expected = None
+        for _ in range(5):
             t0 = time.perf_counter()
-            oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
-                              n_per_v, cut_off=CUT_OFF)
+            expected = oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR,
+                                         v0, vn, n_per_v, cut_off=CUT_OFF)
             best = min(best, time.perf_counter() - t0)
-        return window_evals(keep, n_per_v) / best
+        return window_evals(keep, n_per_v) / best, expected
     except Exception:
+        return None, None
+
+
+def parity(spectrum, expected, num_lines):
+    """Max abs/rel error of the f32 TPU spectrum vs the C oracle, both
+    evaluated on the full headline workload by their own timing stages."""
+    if spectrum is None or expected is None:
         return None
-
-
-def parity_vs_oracle(grid, num_lines=20000):
-    """Max abs/rel error of the float32 Pallas spectrum vs the compiled
-    reference C on a 20k-line subsample (BASELINE's max-abs-err column)."""
-    import oracle
-    from pylbl_tpu.ops.lineshape_pallas import accumulate_tpu
-
-    if not oracle.available():
-        return None
-    pack = synthetic_line_pack(
-        num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
-        band_centers=(150.0, 1600.0, 3700.0, 500.0))
-    v0, vn, n_per_v, n = internal_grid(grid)
-    keep = pack.compat_break_filter(v0, vn, CUT_OFF)
-    expected = oracle.absorption(pack, TEMPERATURE, PRESSURE, VMR, v0, vn,
-                                 n_per_v, cut_off=CUT_OFF)
-    params = line_profile_params(pack, TEMPERATURE, PRESSURE, VMR, keep=keep)
-    kin = kernel_inputs(params, v0, n_per_v, CUT_OFF)
-    arrays = lineshape.prepare_kernel_arrays(kin, n_per_v, np.float32)
-    got = np.asarray(accumulate_tpu(arrays, kin, n, n_per_v, CUT_OFF),
-                     np.float64)
-    err = np.abs(got - expected)
+    err = np.abs(spectrum - expected)
     return {"max_abs_err": float(err.max()),
-            "max_rel_err": float(err.max() / expected.max())}
+            "max_rel_err": float(err.max() / expected.max()),
+            "workload_lines": int(num_lines)}
 
 
 def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
     """Steady-state rate of a jitted [B]-batched pipeline via the same
-    loop-carried fori chaining as the headline."""
+    loop-carried fori chaining as the headline; also returns the final
+    output so the caller's parity check reuses this compile."""
     import jax
     import jax.numpy as jnp
 
@@ -195,23 +206,24 @@ def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
         def body(i, carry):
             acc, tt = carry
             out = inner(tt, p, x)
-            acc = acc + out.ravel()[0]
+            acc = acc + jnp.sum(out) * jnp.float32(1e-30)
             return (acc, tt + acc * 0)
-        acc, _ = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), t))
-        return acc
+        acc, tfin = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), t))
+        return acc, inner(tfin, p, x)
 
     t, p, x = args
-    float(chained(t, p, x, 1))
+    float(chained(t, p, x, 1)[0])
     t0 = time.perf_counter()
-    float(chained(t, p, x, 1))
+    float(chained(t, p, x, 1)[0])
     one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chained(t, p, x, reps + 1))
+    acc, out = chained(t, p, x, reps + 1)
+    float(acc)
     many = time.perf_counter() - t0
     per_call = max((many - one) / reps, 1e-9)
     return {"points_per_s": round(per_call_points / per_call, 1),
             "evals_per_s": round(per_call_evals / per_call, 1),
-            "wall_s_per_call": round(per_call, 5)}
+            "wall_s_per_call": round(per_call, 5)}, out
 
 
 def batched_rate(pack, grid, num_layers=4):
@@ -226,23 +238,18 @@ def batched_rate(pack, grid, num_layers=4):
     # path uses (shrinks the layer-independent core-instance windows).
     t_max, p_max_atm = derive_envelope(t, p)
     fn = make_batched_tpu_fn(pack, grid, t_max=t_max, p_max_atm=p_max_atm)
-    result = chained_rate(fn.inner, (t, p, x), num_layers * n,
-                          num_layers * window_evals(keep, n_per_v))
+    result, out = chained_rate(fn.inner, (t, p, x), num_layers * n,
+                               num_layers * window_evals(keep, n_per_v))
     # Parity of the batched f32 device-physics path vs the compiled
-    # reference C oracle on a 20k-line subsample (quantified per
-    # BASELINE), across warm and cold layers.
+    # reference C oracle across warm and cold layers, on the SAME full
+    # pack and from the SAME compiled program as the timing (no second
+    # pipeline build / remote compile).
     import oracle
     if oracle.available():
-        sub = synthetic_line_pack(num_lines=20000, nu_min=0.5,
-                                  nu_max=5100.0, seed=1,
-                                  band_centers=(150.0, 1600.0, 3700.0,
-                                                500.0))
-        sub_fn = make_batched_tpu_fn(sub, grid, t_max=t_max,
-                                     p_max_atm=p_max_atm)
-        got = np.asarray(sub_fn(t, p, x), np.float64)
+        got = np.asarray(out, np.float64)
         errs = []
         for i in range(num_layers):
-            want = oracle.absorption(sub, float(t[i]), float(p[i]),
+            want = oracle.absorption(pack, float(t[i]), float(p[i]),
                                      float(x[i]), v0, vn, n_per_v,
                                      cut_off=CUT_OFF)
             errs.append(np.abs(got[i] - want).max() / want.max())
@@ -250,11 +257,7 @@ def batched_rate(pack, grid, num_layers=4):
     return result
 
 
-def multigas_rate(grid, num_layers=4):
-    """Config-2 seven-gas quickstart shape in ONE stacked launch."""
-    from pylbl_tpu.parallel.lines import (make_multigas_batched_fn,
-                                          stack_device_packs)
-
+def multigas_packs():
     names = ["H2O", "CO2", "O3", "N2O", "CO", "CH4", "O2"]
     packs = {}
     for g, name in enumerate(names):
@@ -262,22 +265,82 @@ def multigas_rate(grid, num_layers=4):
             name, num_lines=300000 if name == "H2O" else 20000,
             nu_min=0.5, nu_max=5100.0, seed=g + 1,
             band_centers=(150.0 + 400 * g, 1600.0, 3700.0))
-    from pylbl_tpu.parallel.lines import derive_envelope
+    return packs
 
+
+def multigas_rate(grid, num_layers=4):
+    """Config-2 seven-gas quickstart shape in ONE stacked launch."""
+    from pylbl_tpu.parallel.lines import (derive_envelope,
+                                          make_multigas_batched_fn,
+                                          stack_device_packs)
+
+    packs = multigas_packs()
     arrays, host, static, _ = stack_device_packs(packs, grid)
     t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
     p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
     t_max, p_max_atm = derive_envelope(t, p)
     fn = make_multigas_batched_fn(packs, grid, t_max=t_max,
                                   p_max_atm=p_max_atm)
-    x = np.full((num_layers, len(names)), 1e-4, np.float32)
-    result = chained_rate(
+    x = np.full((num_layers, len(packs)), 1e-4, np.float32)
+    result, _ = chained_rate(
         fn.inner, (t, p, x),
-        num_layers * len(names) * static["num_points"],
+        num_layers * len(packs) * static["num_points"],
         num_layers * window_evals(static["num_lines"],
                                   static["n_per_v"]))
-    result["gases"] = len(names)
+    result["gases"] = len(packs)
     result["total_lines"] = static["num_lines"]
+    return result
+
+
+def config5_streamed(num_layers=16, block=4):
+    """Config-5 at scale: 500k-point grid x 16 layers x 7 gases, the
+    stacked total-format launch (device-reduced [B, n]) streamed blockwise
+    to a resumable file.  SURVEY 5 long-context / BASELINE config 5; the
+    reference evaluates this shape gas-by-gas, layer-by-layer in the C
+    loop (absorption.c:76-87) with no batching or device residency."""
+    from pylbl_tpu.parallel.lines import (derive_envelope,
+                                          make_multigas_batched_fn,
+                                          stack_device_packs)
+    from pylbl_tpu.utils.streaming import StreamingWriter
+
+    grid = np.arange(1.0, 5000.0, 0.01)
+    packs = multigas_packs()
+    _, _, static, _ = stack_device_packs(packs, grid)
+    t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
+    p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
+    x = np.full((num_layers, len(packs)), 1e-4, np.float32)
+    t_max, p_max_atm = derive_envelope(t, p)
+    fn = make_multigas_batched_fn(packs, grid, t_max=t_max,
+                                  p_max_atm=p_max_atm)
+    path = Path(tempfile.mkdtemp(prefix="pylbl_bench_")) / "config5.h5"
+    nblocks = num_layers // block
+    # Compile (first block shape) outside the timed region.
+    _ = fn.total(t[:block], p[:block], x[:block])
+    float(np.asarray(_[0, 0]))
+    t0 = time.perf_counter()
+    with StreamingWriter(path, num_layers, grid,
+                         ["absorption_total"]) as writer:
+        for b in range(nblocks):
+            sl = slice(b * block, (b + 1) * block)
+            beta = np.asarray(fn.total(t[sl], p[sl], x[sl]), np.float64)
+            for i in range(block):
+                writer.write_state(b * block + i,
+                                   {"absorption_total": beta[i]})
+    wall = time.perf_counter() - t0
+    nbytes = path.stat().st_size
+    evals = num_layers * window_evals(static["num_lines"],
+                                      static["n_per_v"])
+    result = {
+        "grid_points": int(grid.size),
+        "layers": num_layers,
+        "gases": len(packs),
+        "total_lines": static["num_lines"],
+        "wall_s": round(wall, 2),
+        "points_per_s": round(num_layers * grid.size / wall, 1),
+        "evals_per_s": round(evals / wall, 1),
+        "bytes_written": int(nbytes),
+    }
+    path.unlink()
     return result
 
 
@@ -311,8 +374,8 @@ def main():
     pack, grid = build_workload()
     # Reference C single-core rate FIRST, on an uncontended host (the
     # CPU-mesh scaling subprocess below would otherwise compete for the
-    # 2 vCPUs and skew the baseline).
-    ref = reference_rate(grid)
+    # 2 vCPUs and skew the measurement), on the FULL headline workload.
+    ref, expected = reference_rate(pack, grid)
     timings["reference_c_s"] = round(time.perf_counter() - _T0, 1)
     try:
         scaling_proc = start_scaling_cpu_mesh()
@@ -323,21 +386,22 @@ def main():
     # a short pause reliably recovers.
     for attempt in range(3):
         try:
-            rate, points_rate, max_k = tpu_rate(pack, grid)
+            rate, points_rate, spectrum = tpu_rate(pack, grid)
             break
         except Exception:
             if attempt == 2:
                 raise
             time.sleep(20.0)
-    assert np.isfinite(max_k) and max_k > 0
     timings["headline_s"] = round(time.perf_counter() - _T0, 1)
-    vs_baseline = rate / ref if ref else 1.0
+    vs_baseline = rate / PINNED_C_EVALS_PER_S
 
     extra = {"single_layer_points_per_s": round(points_rate, 1),
-             "reference_c_evals_per_s": round(ref, 1) if ref else None}
-    for key, fn in (("parity", lambda: parity_vs_oracle(grid)),
-                    ("batched_4layer", lambda: batched_rate(pack, grid)),
-                    ("multigas_7gas", lambda: multigas_rate(grid))):
+             "pinned_c_evals_per_s": PINNED_C_EVALS_PER_S,
+             "reference_c_evals_per_s_live": round(ref, 1) if ref else None,
+             "parity": parity(spectrum, expected, pack.nu.size)}
+    for key, fn in (("batched_4layer", lambda: batched_rate(pack, grid)),
+                    ("multigas_7gas", lambda: multigas_rate(grid)),
+                    ("config5", config5_streamed)):
         if over_deadline():
             extra[key] = "skipped (deadline)"
             continue
