@@ -951,6 +951,84 @@ def _pallas_wings_seg_batched(soa, w_start, w_n, params, t_start, t_chunks,
                                   num_points, tile, seg_chunk, interpret)
 
 
+# Production core-pass formulation.  "seg" (segment-32) removes the rows
+# formulation's measured splat/padding overheads; "rows" is kept for A/B
+# and as a fallback.  CorePlan dispatches on this at build time.
+# Measured on the v5e headline workload: rows 6.42 ms/spectrum ->
+# seg 1.18 ms (5.4x), 372k vs 506k instance slots.
+CORE_MODE = "seg"
+
+
+class CorePlan:
+    """Host-built execution plan for the core-correction pass.
+
+    Wraps the mode choice (rows vs segment-32) behind one interface so the
+    batched/multigas/device-plan builders don't triplicate the dispatch:
+
+        plan = CorePlan(cs, ce, num_points, tile, sort_key=y)
+        params = plan.gather(kernel_arrays, xp)   # host or in-jit
+        out = plan.wings_core(soa, w_start, w_n, params, chunk, interpret)
+    """
+
+    def __init__(self, core_start, core_end, num_points, tile,
+                 sort_key=None, mode=None, chunk=ROWS_CHUNK):
+        self.mode = CORE_MODE if mode is None else mode
+        self.num_points = int(num_points)
+        self.tile = tile
+        self.chunk = chunk
+        if self.mode == "seg":
+            (self.inst_line, self.seg0, self.t_start, self.t_chunks,
+             self.c_slot) = build_core_segments(
+                core_start, core_end, num_points, tile=tile, chunk=chunk,
+                sort_key=sort_key)
+        elif self.mode == "rows":
+            self.inst_line, self.g_start, self.g_n = build_core_groups(
+                core_start, core_end, num_points, tile, chunk,
+                sort_key=sort_key)
+        else:
+            raise ValueError(f"unknown core mode {self.mode!r}")
+        self._dev = None
+
+    def _device_indices(self):
+        """jnp copies of the gather indices, cached so in-jit gathers close
+        over device arrays instead of re-embedding megabyte constants."""
+        if self._dev is None:
+            if self.mode == "seg":
+                self._dev = (jnp.asarray(self.inst_line),
+                             jnp.asarray(self.seg0))
+            else:
+                self._dev = (jnp.asarray(self.inst_line),)
+        return self._dev
+
+    def gather(self, kernel_arrays, xp=np):
+        """Per-layer core parameters ([..., 8, I] seg / [..., 64, G] rows)."""
+        if xp is np:
+            if self.mode == "seg":
+                return gather_segment_params(kernel_arrays, self.inst_line,
+                                             self.seg0, xp=np)
+            return gather_group_params(kernel_arrays, self.inst_line, xp=np)
+        dev = self._device_indices()
+        if self.mode == "seg":
+            return gather_segment_params(kernel_arrays, dev[0], dev[1],
+                                         xp=xp)
+        return gather_group_params(kernel_arrays, dev[0], xp=xp)
+
+    def wings_core(self, soa, w_start, w_n, core_params, chunk,
+                   interpret=False):
+        """Fused wings + core two-pass; single-layer ([8, N] soa) or
+        layer-batched ([B, 8, N] soa) by the soa/params rank."""
+        batched = np.ndim(core_params) == 3
+        if self.mode == "seg":
+            fn = _pallas_wings_seg_batched if batched else _pallas_wings_seg
+            return fn(soa, w_start, w_n, core_params, self.t_start,
+                      self.t_chunks, self.c_slot, self.num_points,
+                      self.tile, chunk, self.chunk, interpret=interpret)
+        fn = _pallas_wings_rows_batched if batched else _pallas_wings_rows
+        return fn(soa, w_start, w_n, core_params, self.g_start, self.g_n,
+                  self.num_points, self.tile, chunk, self.chunk,
+                  interpret=interpret)
+
+
 def _tile_kernel(line_fn, chunk, tile, start_ref, nchunks_ref, lines_ref,
                  out_ref, buf, sems):
     """One grid step: accumulate all of one tile's line chunks.
@@ -1257,17 +1335,12 @@ def accumulate_tpu_batched(kernel_arrays, kin, num_points, n_per_v, cut_off,
         axis=0)
     ce = np.where(all_lorentz, cs - 1, ce)
     # Sort key: per-line y minimized over layers, so the kernel's
-    # group-min-y branch class is as homogeneous as the layer spread allows.
-    inst_line, g_start, g_n = build_core_groups(
-        cs, ce, num_points, tile,
-        sort_key=np.asarray(kernel_arrays["y"]).min(axis=0))
-    groups = np.stack([
-        gather_group_params({k: v[b] for k, v in kernel_arrays.items()},
-                            inst_line)
-        for b in range(num_layers)])
-    return _pallas_wings_rows_batched(
-        soa, np.stack(w_starts), np.stack(w_ns), groups, g_start, g_n,
-        int(num_points), tile, chunk, ROWS_CHUNK, interpret)
+    # chunk-min-y branch class is as homogeneous as the layer spread allows.
+    plan = CorePlan(cs, ce, int(num_points), tile,
+                    sort_key=np.asarray(kernel_arrays["y"]).min(axis=0))
+    params = plan.gather(kernel_arrays)            # [B, ...] batched gather
+    return plan.wings_core(soa, np.stack(w_starts), np.stack(w_ns), params,
+                           chunk, interpret)
 
 
 class DevicePlan:
@@ -1280,14 +1353,16 @@ class DevicePlan:
     absorption.c:44-73), so repeated spectra cost no host->device traffic.
     """
 
-    def __init__(self, soa, w_start, w_n, groups, g_start, g_n, num_points,
-                 tile, chunk, interpret=False):
+    def __init__(self, soa, w_start, w_n, core_plan, core_params,
+                 num_points, tile, chunk, interpret=False):
         self.soa = jax.device_put(soa)
         self.w_start = jax.device_put(w_start)
         self.w_n = jax.device_put(w_n)
-        self.groups = jax.device_put(groups)
-        self.g_start = jax.device_put(g_start)
-        self.g_n = jax.device_put(g_n)
+        self.core = core_plan
+        # Attribute name kept from the rows-only era: "groups" is the
+        # per-layer core-parameter block of whichever core mode the plan
+        # was built with ([64, G] rows / [8, I] seg).
+        self.groups = jax.device_put(core_params)
         self.num_points = int(num_points)
         self.tile = tile
         self.chunk = chunk
@@ -1299,15 +1374,13 @@ class DevicePlan:
     def run_with(self, soa, groups):
         """Traceable variant for embedding in a larger jitted program
         (e.g. the benchmark's chained-rep loop)."""
-        return _pallas_wings_rows(soa, self.w_start, self.w_n, groups,
-                                  self.g_start, self.g_n, self.num_points,
-                                  self.tile, self.chunk, ROWS_CHUNK,
-                                  self.interpret)
+        return self.core.wings_core(soa, self.w_start, self.w_n, groups,
+                                    self.chunk, self.interpret)
 
 
 def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
                      tile=DEFAULT_TILE, chunk=DEFAULT_CHUNK,
-                     interpret=False):
+                     interpret=False, core_mode=None):
     """Builds a DevicePlan from host kernel arrays (see accumulate_tpu)."""
     soa, num = pack_lines_soa(kernel_arrays, chunk)
     s_idx = kernel_arrays["s_idx"].astype(np.int64)
@@ -1315,10 +1388,10 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
     w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
     cs, ce = core_instance_windows(kernel_arrays, kin, num_points, n_per_v,
                                    cut_off)
-    inst_line, g_start, g_n = build_core_groups(
-        cs, ce, num_points, tile, sort_key=kernel_arrays["y"])
-    groups = gather_group_params(kernel_arrays, inst_line)
-    return DevicePlan(soa, w_start, w_n, groups, g_start, g_n, num_points,
+    plan = CorePlan(cs, ce, int(num_points), tile,
+                    sort_key=kernel_arrays["y"], mode=core_mode)
+    params = plan.gather(kernel_arrays)
+    return DevicePlan(soa, w_start, w_n, plan, params, num_points,
                       tile, chunk, interpret)
 
 

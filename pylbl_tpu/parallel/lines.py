@@ -436,13 +436,13 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         (host["nu"] / c.VLIGHT) * np.sqrt(
             c.R2 * 275.0 / np.maximum(host["mass"], 1.0)), 1e-300)
         ) * host["gamma_air"] * (296.0 / 275.0) ** host["n_air"]
-    inst_line, g_start, g_n = lp.build_core_groups(
+    core_plan = lp.CorePlan(
         off + np.clip(center0 - core_w - shift_w, 0, num_points - 1),
         off + np.clip(center0 + core_w + shift_w, 0, num_points - 1),
         flat_points, tile, sort_key=y_ref)
+    core_plan._device_indices()   # eager: in-jit gathers close over these
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    inst_line_dev = jnp.asarray(inst_line)
     pad = -keep % chunk
 
     @jax.jit
@@ -458,20 +458,19 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
             padded = [jnp.pad(r, (0, pad), constant_values=v)
                       for r, v in zip(rows, fill)]
             soa = jnp.stack(padded, axis=0)
-            groups = lp.gather_group_params(
+            core = core_plan.gather(
                 {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
                  "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
                  "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-                 "e_idx": ka["e_idx"]}, inst_line_dev, xp=jnp)
-            return soa, groups
+                 "e_idx": ka["e_idx"]}, xp=jnp)
+            return soa, core
 
-        soa, groups = jax.vmap(one_layer)(temperature, pressure, vmr)
+        soa, core = jax.vmap(one_layer)(temperature, pressure, vmr)
         batch = soa.shape[0]
-        k = lp._pallas_wings_rows_batched(
+        k = core_plan.wings_core(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
-            groups, g_start, g_n, flat_points, tile, chunk, lp.ROWS_CHUNK,
-            interpret=interpret)
+            core, chunk, interpret=interpret)
         return k.reshape(batch, num_gases, num_points)
 
     def _check_envelope(temperature, pressure):
@@ -577,13 +576,13 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
             c.R2 * 275.0 / np.maximum(pack.mass[:keep], 1.0)), 1e-300)
         ) * pack.gamma_air[:keep] * (296.0 / 275.0) ** pack.n_air[:keep]
-    inst_line, g_start, g_n = lp.build_core_groups(
+    core_plan = lp.CorePlan(
         np.maximum(center0 - core_w - shift_w, s_wide),
         np.minimum(center0 + core_w + shift_w, e_wide),
         num_points, tile, sort_key=y_ref)
+    core_plan._device_indices()   # eager: in-jit gathers close over these
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    inst_line_dev = jnp.asarray(inst_line)
     pad = -keep % chunk
 
     @jax.jit
@@ -599,20 +598,19 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
             padded = [jnp.pad(r, (0, pad), constant_values=v)
                       for r, v in zip(rows, fill)]
             soa = jnp.stack(padded, axis=0)       # [8, N_pad].
-            groups = lp.gather_group_params(
+            core = core_plan.gather(
                 {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
                  "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
                  "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-                 "e_idx": ka["e_idx"]}, inst_line_dev, xp=jnp)
-            return soa, groups
+                 "e_idx": ka["e_idx"]}, xp=jnp)
+            return soa, core
 
-        soa, groups = jax.vmap(one_layer)(temperature, pressure, vmr)
+        soa, core = jax.vmap(one_layer)(temperature, pressure, vmr)
         batch = soa.shape[0]
-        return lp._pallas_wings_rows_batched(
+        return core_plan.wings_core(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
-            groups, g_start, g_n, num_points, tile, chunk, lp.ROWS_CHUNK,
-            interpret=interpret)
+            core, chunk, interpret=interpret)
 
     def fn(temperature, pressure, vmr):
         # The core-instance windows were sized for (t_max, p_max_atm);
