@@ -72,15 +72,23 @@ def main():
     shift_w = np.ceil(np.abs(pack.delta_air[:keep]) * 5.0
                       * n_per_v).astype(np.int64) + 1
     center0 = np.rint((pack.nu[:keep] - v0) * n_per_v).astype(np.int64)
-    inst_line, g_start, g_n = lp.build_core_groups(
+    # Same envelope-widened core windows and y sort key the production
+    # builder (parallel/lines.py make_batched_tpu_fn) feeds CorePlan.
+    y_ref = c.SQRT_LN2 / np.maximum(
+        (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
+            c.R2 * 275.0 / np.maximum(pack.mass[:keep], 1.0)), 1e-300
+        ) * pack.gamma_air[:keep] * (296.0 / 275.0) ** pack.n_air[:keep]
+    core_mode = sys.argv[4] if len(sys.argv) > 4 else None
+    plan = lp.CorePlan(
         np.maximum(center0 - core_w - shift_w, s_wide),
-        np.minimum(center0 + core_w + shift_w, e_wide), n, tile)
+        np.minimum(center0 + core_w + shift_w, e_wide), n, tile,
+        sort_key=y_ref, mode=core_mode)
+    plan._device_indices()
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    inst_line_dev = jnp.asarray(inst_line)
     pad = -keep % chunk
 
-    def assemble(t, p, x, arrays_dev, inst_line_dev):
+    def assemble(t, p, x, arrays_dev):
         ka = pl_lines.line_kernel_arrays(arrays_dev, static, t, p, x)
         rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                 ka["scaled_repwid"], ka["y"], ka["prefactor"],
@@ -91,35 +99,35 @@ def main():
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)
-        groups = lp.gather_group_params(
+        core = plan.gather(
             {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
              "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
              "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-             "e_idx": ka["e_idx"]}, inst_line_dev, xp=jnp)
-        return soa, groups
+             "e_idx": ka["e_idx"]}, xp=jnp)
+        return soa, core
 
     def physics_only(t, p, x, arrays_dev):
         ka = pl_lines.line_kernel_arrays(arrays_dev, static, t, p, x)
         return sum(jnp.sum(v.astype(jnp.float32)) for v in ka.values())
 
     @jax.jit
-    def assembly_stage_(arrays_dev, inst_line_dev, reps):
+    def assembly_stage_(arrays_dev, reps):
         def body(i, carry):
             acc, t = carry
-            soa, groups = jax.vmap(
-                lambda a, b, c_: assemble(a, b, c_, arrays_dev,
-                                          inst_line_dev))(t, p_d, x_d)
+            soa, core = jax.vmap(
+                lambda a, b, c_: assemble(a, b, c_, arrays_dev))(
+                    t, p_d, x_d)
             # Reduce over the FULL outputs: a single-element readback lets
             # XLA dead-code-eliminate most of the assembly (the "0.76 ms"
             # artifact documented in CLAUDE.md).
-            return (acc + (jnp.sum(soa) + jnp.sum(groups))
+            return (acc + (jnp.sum(soa) + jnp.sum(core))
                     * jnp.float32(1e-30),
                     t + acc * 0.0)
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), t_d))
         return acc
 
     def assembly_stage(reps):
-        return assembly_stage_(arrays_dev, inst_line_dev, reps)
+        return assembly_stage_(arrays_dev, reps)
 
     @jax.jit
     def physics_stage_(arrays_dev, reps):
@@ -135,16 +143,14 @@ def main():
     def physics_stage(reps):
         return physics_stage_(arrays_dev, reps)
 
-    soa0, groups0 = jax.jit(jax.vmap(
-        lambda a, b, c_: assemble(a, b, c_, arrays_dev, inst_line_dev)))(
-            t_d, p_d, x_d)
+    soa0, core0 = jax.jit(jax.vmap(
+        lambda a, b, c_: assemble(a, b, c_, arrays_dev)))(t_d, p_d, x_d)
     soa0 = jax.device_put(soa0)
-    groups0 = jax.device_put(groups0)
+    core0 = jax.device_put(core0)
     ws_b = np.broadcast_to(w_start, (num_layers,) + w_start.shape).copy()
     wn_b = np.broadcast_to(w_n, (num_layers,) + w_n.shape).copy()
 
     ws_d, wn_d = jnp.asarray(ws_b), jnp.asarray(wn_b)
-    gs_d, gn_d = jnp.asarray(g_start), jnp.asarray(g_n)
 
     @jax.jit
     def wings_stage_(soa0, ws_d, wn_d, reps):
@@ -153,51 +159,58 @@ def main():
             s = jnp.where(acc >= -1.0, s, 0.0)
             out = lp._pallas_pass_batched(s, ws_d, wn_d, int(n), tile,
                                           chunk, "wings")
-            return (acc + out[0, 0], s)
+            return (acc + jnp.sum(out) * jnp.float32(1e-30), s)
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), soa0))
         return acc
 
     def wings_stage(reps):
         return wings_stage_(soa0, ws_d, wn_d, reps)
 
+    def core_pass(params):
+        # Pallas outputs are DCE-safe (the pallas_call runs whole), so a
+        # single-element carry suffices here.
+        if plan.mode == "seg":
+            return lp._pallas_seg_pass(params, plan.t_start, plan.t_chunks,
+                                       plan.c_slot, int(n), tile, plan.chunk)
+        return lp._pallas_rows_pass(params, plan.g_start, plan.g_n, int(n),
+                                    tile)
+
     @jax.jit
-    def rows_stage_(groups0, gs_d, gn_d, reps):
+    def core_stage_(core0, reps):
         def body(i, carry):
             acc, g = carry
             g = jnp.where(acc >= -1.0, g, 0.0)
-            out = lp._pallas_rows_pass(g, gs_d, gn_d, int(n), tile)
+            out = core_pass(g)
             return (acc + out[0, 0], g)
-        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), groups0))
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), core0))
         return acc
 
-    def rows_stage(reps):
-        return rows_stage_(groups0, gs_d, gn_d, reps)
+    def core_stage(reps):
+        return core_stage_(core0, reps)
 
     @jax.jit
-    def full_(arrays_dev, inst_line_dev, ws_d, wn_d, gs_d, gn_d, reps):
+    def full_(arrays_dev, ws_d, wn_d, reps):
         def body(i, carry):
             acc, t = carry
-            soa, groups = jax.vmap(
-                lambda a, b, c_: assemble(a, b, c_, arrays_dev,
-                                          inst_line_dev))(t, p_d, x_d)
-            out = lp._pallas_wings_rows_batched(
-                soa, ws_d, wn_d, groups, gs_d, gn_d, int(n), tile, chunk,
-                lp.ROWS_CHUNK)
+            soa, core = jax.vmap(
+                lambda a, b, c_: assemble(a, b, c_, arrays_dev))(
+                    t, p_d, x_d)
+            out = plan.wings_core(soa, ws_d, wn_d, core, chunk)
             return (acc + out[0, 0], t + acc * 0.0)
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), t_d))
         return acc
 
     def full(reps):
-        return full_(arrays_dev, inst_line_dev, ws_d, wn_d, gs_d, gn_d,
-                     reps)
+        return full_(arrays_dev, ws_d, wn_d, reps)
 
-    print(f"lines={keep} layers={num_layers} grid={n} "
-          f"groups_block={groups0.shape} "
-          f"g_slots={int(g_n.sum()) * lp.ROWS_CHUNK}")
+    slots = (plan.inst_line.size if plan.mode == "seg"
+             else int(plan.g_n.sum()) * lp.ROWS_CHUNK)
+    print(f"lines={keep} layers={num_layers} grid={n} mode={plan.mode} "
+          f"core_block={core0.shape} core_slots={slots}")
     for name, fn in [("physics", physics_stage),
                      ("assemble(phys+soa+gather)", assembly_stage),
                      ("wings-batched", wings_stage),
-                     ("rows-core-batched", rows_stage),
+                     (f"core-batched[{plan.mode}]", core_stage),
                      ("full-batched", full)]:
         dt = chained_time(fn, reps)
         print(f"{name:28s} {dt * 1e3:9.2f} ms total "
