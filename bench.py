@@ -324,8 +324,11 @@ def config5_streamed(num_layers=16, block=4):
             sl = slice(b * block, (b + 1) * block)
             beta = np.asarray(fn.total(t[sl], p[sl], x[sl]), np.float64)
             for i in range(block):
-                writer.write_state(b * block + i,
-                                   {"absorption_total": beta[i]})
+                # Internal grid -> user grid truncation (the reference's
+                # k[:grid.size] contract, spectroscopy.py:191).
+                writer.write_state(
+                    b * block + i,
+                    {"absorption_total": beta[i, :grid.size]})
     wall = time.perf_counter() - t0
     nbytes = path.stat().st_size
     evals = num_layers * window_evals(static["num_lines"],

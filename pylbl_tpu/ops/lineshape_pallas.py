@@ -756,11 +756,13 @@ def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
                     fills[:, None], vals)
 
 
-def _seg_chunk_accumulate(blk, col, m_base, acc, chunk):
+def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk):
     """Accumulates one 128-instance chunk into the transposed tile block.
 
     blk: (8, chunk) lane-major params; acc: (8, lanes) transposed
-    accumulator; m_base: the chunk's segment column (4 * slot).
+    accumulator; m_base: the chunk's segment column (4 * slot);
+    point_base: f32 absolute grid point of the segment start (used by the
+    wings variant; this core variant works in seg0-relative coordinates).
     """
     seg0_rel = blk[SR_SEG0REL:SR_SEG0REL + 1, :]
     c_frac = blk[SR_CFRAC:SR_CFRAC + 1, :]
@@ -797,8 +799,44 @@ def _seg_chunk_accumulate(blk, col, m_base, acc, chunk):
                     with_correction(voigt_correction)))))
 
 
-def _seg_kernel(chunk, tile, start_ref, nchunks_ref, slot_ref, params_ref,
-                out_ref, buf, sems):
+def _seg_chunk_accumulate_lorentz(blk, col, m_base, point_base, acc,
+                                  chunk):
+    """Lorentzian (wings) variant of :func:`_seg_chunk_accumulate`.
+
+    Same lane-major layout and transposed accumulation; the per-point math
+    is the ~9-op region-0 Lorentzian (reference voigt.c:79-83), and the
+    parameter rows are the RAW SoA fields (C_INT..E_IDX order, absolute
+    grid coordinates): x = ((point - c_int) - c_frac) * srw is evaluated
+    exactly as in the tile-wings kernel's :func:`_lorentz_line` (point and
+    c_int are exact f32 integers below 2**24), so no seg0-relative
+    rewriting — and no seg0 row — is needed.  No y-class branch either:
+    the Lorentzian term is needed for every line (the pure-Lorentz
+    y >= 70.55 class included; only the *correction* vanishes there).
+    """
+    c_int = blk[C_INT:C_INT + 1, :]
+    c_frac = blk[C_FRAC:C_FRAC + 1, :]
+    srw = blk[SRW:SRW + 1, :]
+    y = blk[Y:Y + 1, :]
+    pref = blk[PREF:PREF + 1, :]
+    s_idx = blk[S_IDX:S_IDX + 1, :]
+    e_idx = blk[E_IDX:E_IDX + 1, :]
+    pref_y = pref * y * RSQRPI
+    ysq = y * y
+    p_sub = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), dimension=0)
+    out = acc
+    for k in range(4):
+        point = (p_sub + jnp.int32(8 * k)).astype(jnp.float32) + point_base
+        x = ((point - c_int) - c_frac) * srw
+        val = pref_y / (x * x + ysq)
+        mask = (point >= s_idx) & (point <= e_idx)
+        val = jnp.where(mask, val, 0.0)
+        s = jnp.sum(val, axis=1, keepdims=True)            # (8, 1)
+        out = out + jnp.where(col == m_base + jnp.int32(k), s, 0.0)
+    return out
+
+
+def _seg_kernel(seg_fn, chunk, tile, start_ref, nchunks_ref, slot_ref,
+                params_ref, out_ref, buf, sems):
     t = pl.program_id(0)
     base = start_ref[t]
     nchunks = nchunks_ref[t]
@@ -826,15 +864,17 @@ def _seg_kernel(chunk, tile, start_ref, nchunks_ref, slot_ref, params_ref,
 
         chunk_dma(slot, k).wait()
         m_base = slot_ref[base + k] * jnp.int32(4)
-        return _seg_chunk_accumulate(buf[slot], col, m_base, acc, chunk)
+        point_base = (t * jnp.int32(tile)
+                      + m_base * jnp.int32(8)).astype(jnp.float32)
+        return seg_fn(buf[slot], col, m_base, point_base, acc, chunk)
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
     acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
     out_ref[...] = acc[None]
 
 
-def _seg_kernel_batched(chunk, tile, start_ref, nchunks_ref, slot_ref,
-                        params_ref, out_ref, buf, sems):
+def _seg_kernel_batched(seg_fn, chunk, tile, start_ref, nchunks_ref,
+                        slot_ref, params_ref, out_ref, buf, sems):
     """(layer, tile) grid over [B, 8, I] params with shared [T] CSR."""
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -864,7 +904,9 @@ def _seg_kernel_batched(chunk, tile, start_ref, nchunks_ref, slot_ref,
 
         chunk_dma(slot, k).wait()
         m_base = slot_ref[base + k] * jnp.int32(4)
-        return _seg_chunk_accumulate(buf[slot], col, m_base, acc, chunk)
+        point_base = (t * jnp.int32(tile)
+                      + m_base * jnp.int32(8)).astype(jnp.float32)
+        return seg_fn(buf[slot], col, m_base, point_base, acc, chunk)
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
     acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
@@ -872,15 +914,22 @@ def _seg_kernel_batched(chunk, tile, start_ref, nchunks_ref, slot_ref,
 
 
 def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
-                     num_points, tile, chunk=ROWS_CHUNK, interpret=False):
-    """Segment-32 core pass; [num_points] (or [B, num_points]) natural
-    layout (the kernel accumulates transposed; one XLA transpose after)."""
+                     num_points, tile, chunk=ROWS_CHUNK, interpret=False,
+                     kind="core"):
+    """Segment-32 pass; [num_points] (or [B, num_points]) natural layout
+    (the kernel accumulates transposed; one XLA transpose after).
+
+    ``kind``: "core" evaluates the Humlicek correction (chunk-min-y
+    branched); "wings" the region-0 Lorentzian over the full windows.
+    """
     num_tiles = -(-num_points // tile)
     lanes = tile // 8
     batched = params.ndim == 3
+    seg_fn = (_seg_chunk_accumulate if kind == "core"
+              else _seg_chunk_accumulate_lorentz)
     if batched:
         num_layers = params.shape[0]
-        kernel = functools.partial(_seg_kernel_batched, chunk, tile)
+        kernel = functools.partial(_seg_kernel_batched, seg_fn, chunk, tile)
         grid = (num_layers, num_tiles)
         out_spec = pl.BlockSpec(
             (1, 1, 8, lanes),
@@ -890,7 +939,7 @@ def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
             (num_layers, num_tiles, 8, lanes), jnp.float32)
         semantics = ("arbitrary", "arbitrary")
     else:
-        kernel = functools.partial(_seg_kernel, chunk, tile)
+        kernel = functools.partial(_seg_kernel, seg_fn, chunk, tile)
         grid = (num_tiles,)
         out_spec = pl.BlockSpec(
             (1, 8, lanes),
@@ -958,6 +1007,15 @@ def _pallas_wings_seg_batched(soa, w_start, w_n, params, t_start, t_chunks,
 # seg 1.18 ms (5.4x), 372k vs 506k instance slots.
 CORE_MODE = "seg"
 
+# Wings-pass formulation cap: the segment-32 wings pass evaluates only
+# ~1.04x the masked window points (vs ~3x for the 1024-point tile splat at
+# 0.1 cm-1 resolution) but needs a [8, I] per-layer parameter block
+# (32 B/instance).  Above this instance count (256 MB/layer) the builders
+# fall back to the tile-wings kernel, whose waste ratio (tile + window) /
+# window is small precisely when windows are wide (config-5's 0.01 cm-1
+# grid: 5131-point windows -> only 1.2x).
+WINGS_SEG_MAX_SLOTS = 8 * 2 ** 20
+
 
 class CorePlan:
     """Host-built execution plan for the core-correction pass.
@@ -971,11 +1029,14 @@ class CorePlan:
     """
 
     def __init__(self, core_start, core_end, num_points, tile,
-                 sort_key=None, mode=None, chunk=ROWS_CHUNK):
+                 sort_key=None, mode=None, chunk=ROWS_CHUNK, kind="core"):
         self.mode = CORE_MODE if mode is None else mode
+        self.kind = kind
         self.num_points = int(num_points)
         self.tile = tile
         self.chunk = chunk
+        if kind != "core" and self.mode != "seg":
+            raise ValueError("wings-kind plans require seg mode")
         if self.mode == "seg":
             (self.inst_line, self.seg0, self.t_start, self.t_chunks,
              self.c_slot) = build_core_segments(
@@ -989,16 +1050,132 @@ class CorePlan:
             raise ValueError(f"unknown core mode {self.mode!r}")
         self._dev = None
 
+    @property
+    def num_instances(self):
+        return int(self.inst_line.size)
+
+    def seg_pass(self, params, interpret=False):
+        """This plan's segment pass alone (params [..., 8, I] -> spectrum
+        [..., num_points]); seg mode only."""
+        if self.mode != "seg":
+            raise ValueError("seg_pass requires seg mode")
+        return _pallas_seg_pass(params, self.t_start, self.t_chunks,
+                                self.c_slot, self.num_points, self.tile,
+                                self.chunk, interpret, kind=self.kind)
+
     def _device_indices(self):
         """jnp copies of the gather indices, cached so in-jit gathers close
-        over device arrays instead of re-embedding megabyte constants."""
+        over device arrays instead of re-embedding megabyte constants.
+        ensure_compile_time_eval: the first call may happen inside a trace
+        (a jitted builder); the cache must hold concrete arrays, not that
+        trace's constant tracers."""
         if self._dev is None:
-            if self.mode == "seg":
-                self._dev = (jnp.asarray(self.inst_line),
-                             jnp.asarray(self.seg0))
-            else:
-                self._dev = (jnp.asarray(self.inst_line),)
+            with jax.ensure_compile_time_eval():
+                if self.mode == "seg":
+                    self._dev = (jnp.asarray(self.inst_line),
+                                 jnp.asarray(self.seg0))
+                else:
+                    self._dev = (jnp.asarray(self.inst_line),)
         return self._dev
+
+    def expand_line_arrays(self, arrays, xp=np):
+        """Instance-order expansion of device_line_pack-style arrays.
+
+        Seg mode only.  Gathers every per-line constant to instance order
+        ONCE at build time, so each layer's core parameters can be computed
+        by running the (elementwise) line physics directly in instance
+        space — the jitted program then needs no per-layer [N, 8] row
+        gather + [I, 8] -> [8, I] transpose (measured ~3 ms/layer of the
+        batched assembly stage at 300k lines / 508k instances).  The
+        per-instance physics results are bit-identical to gathering the
+        per-line results (same inputs, same elementwise ops).
+
+        With ``xp=jnp`` and device-resident ``arrays``, the expansion runs
+        on device (only the int32 index array transfers) — host->device
+        bandwidth is the scarce resource on a tunneled TPU.
+
+        Returns a dict shaped like ``arrays`` with every per-line field
+        expanded to [I_pad] (``q_table`` passed through); dead lanes point
+        at line 0 and are overwritten by :meth:`seg_params` /
+        :meth:`wings_params` fills.
+        """
+        if self.mode != "seg":
+            raise ValueError("expand_line_arrays requires seg mode")
+        idx = np.maximum(self.inst_line, 0)
+        if xp is np:
+            return {k: (v if k == "q_table"
+                        else np.ascontiguousarray(v[idx]))
+                    for k, v in arrays.items()}
+        idx = jnp.asarray(idx.astype(np.int32))
+        return {k: (v if k == "q_table" else xp.take(v, idx, axis=0))
+                for k, v in arrays.items()}
+
+    def _seg_device_consts(self):
+        if getattr(self, "_seg_dev", None) is None:
+            # First call may be inside a trace: keep the cache concrete.
+            with jax.ensure_compile_time_eval():
+                self._seg_dev = (jnp.asarray(self.seg0.astype(np.float32)),
+                                 self._dead_device())
+        return self._seg_dev
+
+    def _dead_device(self):
+        """Device dead-lane mask alone (wings plans never need seg0)."""
+        if getattr(self, "_dead_dev", None) is None:
+            with jax.ensure_compile_time_eval():
+                self._dead_dev = jnp.asarray(self.inst_line < 0)
+        return self._dead_dev
+
+    def seg_params(self, ka_inst, xp=jnp):
+        """[..., 8, I] core parameters from INSTANCE-order kernel arrays.
+
+        ``ka_inst`` is the line_kernel_arrays output computed on
+        :meth:`expand_line_arrays` constants.  Produces the same block as
+        ``gather`` (same derived rows, same dead-lane fills:
+        gather_segment_params) without the per-layer gather.
+        """
+        if self.mode != "seg":
+            raise ValueError("seg_params requires seg mode")
+        if xp is np:
+            seg0f = self.seg0.astype(np.float32)
+            dead = self.inst_line < 0
+        else:
+            seg0f, dead = self._seg_device_consts()
+        fills = (0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0)
+        rows = (seg0f - ka_inst["c_int"].astype(xp.float32),
+                ka_inst["c_frac"],
+                ka_inst["scaled_repwid"],
+                ka_inst["y"],
+                ka_inst["prefactor"],
+                ka_inst["s_idx"].astype(xp.float32) - seg0f,
+                ka_inst["e_idx"].astype(xp.float32) - seg0f,
+                xp.zeros_like(seg0f))
+        return xp.stack([xp.where(dead, xp.float32(f), r)
+                         for f, r in zip(fills, rows)], axis=-2)
+
+    def wings_params(self, ka_inst, xp=jnp):
+        """[..., 8, I] wings parameters from INSTANCE-order kernel arrays.
+
+        Wings-kind plans only.  Rows are the RAW SoA fields in C_INT..
+        E_IDX order with absolute grid coordinates (the lorentz seg kernel
+        reconstructs the absolute point from its tile/slot position, so no
+        seg0 row is needed).  Dead-lane fills give an unsatisfiable window
+        and zero prefactor.
+        """
+        if self.kind != "wings":
+            raise ValueError("wings_params requires a wings-kind plan")
+        dead = (self.inst_line < 0 if xp is np else self._dead_device())
+        fills = (0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0)
+        zeros = xp.zeros_like(ka_inst["c_frac"])
+        rows = (ka_inst["c_int"].astype(xp.float32),
+                ka_inst["c_frac"],
+                ka_inst["scaled_repwid"],
+                ka_inst["y"],
+                ka_inst["prefactor"],
+                ka_inst["s_idx"].astype(xp.float32),
+                ka_inst["e_idx"].astype(xp.float32),
+                zeros)
+        return xp.stack([xp.where(dead, xp.float32(f), r)
+                         for f, r in zip(fills, rows)], axis=-2)
 
     def gather(self, kernel_arrays, xp=np):
         """Per-layer core parameters ([..., 8, I] seg / [..., 64, G] rows)."""

@@ -440,9 +440,17 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         off + np.clip(center0 - core_w - shift_w, 0, num_points - 1),
         off + np.clip(center0 + core_w + shift_w, 0, num_points - 1),
         flat_points, tile, sort_key=y_ref)
-    core_plan._device_indices()   # eager: in-jit gathers close over these
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    if core_plan.mode == "seg":
+        # Instance-order line constants: per-layer core params come from
+        # running the elementwise physics directly in instance space — no
+        # per-layer [N, 8] gather + transpose in the jitted program.
+        arrays_inst_dev = {
+            k: jnp.asarray(v)
+            for k, v in core_plan.expand_line_arrays(arrays_np).items()}
+    else:
+        core_plan._device_indices()   # in-jit gathers close over these
     pad = -keep % chunk
 
     @jax.jit
@@ -458,11 +466,15 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
             padded = [jnp.pad(r, (0, pad), constant_values=v)
                       for r, v in zip(rows, fill)]
             soa = jnp.stack(padded, axis=0)
-            core = core_plan.gather(
-                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
-                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
-                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-                 "e_idx": ka["e_idx"]}, xp=jnp)
+            if core_plan.mode == "seg":
+                ka_i = line_kernel_arrays(arrays_inst_dev, static, t, p, x)
+                core = core_plan.seg_params(ka_i, xp=jnp)
+            else:
+                core = core_plan.gather(
+                    {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                     "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                     "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                     "e_idx": ka["e_idx"]}, xp=jnp)
             return soa, core
 
         soa, core = jax.vmap(one_layer)(temperature, pressure, vmr)
@@ -580,9 +592,17 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         np.maximum(center0 - core_w - shift_w, s_wide),
         np.minimum(center0 + core_w + shift_w, e_wide),
         num_points, tile, sort_key=y_ref)
-    core_plan._device_indices()   # eager: in-jit gathers close over these
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    if core_plan.mode == "seg":
+        # Instance-order line constants (see make_multigas_batched_fn):
+        # core params computed directly in instance space, no per-layer
+        # gather + transpose in the jitted program.
+        arrays_inst_dev = {
+            k: jnp.asarray(v)
+            for k, v in core_plan.expand_line_arrays(arrays_np).items()}
+    else:
+        core_plan._device_indices()   # in-jit gathers close over these
     pad = -keep % chunk
 
     @jax.jit
@@ -598,11 +618,15 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
             padded = [jnp.pad(r, (0, pad), constant_values=v)
                       for r, v in zip(rows, fill)]
             soa = jnp.stack(padded, axis=0)       # [8, N_pad].
-            core = core_plan.gather(
-                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
-                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
-                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-                 "e_idx": ka["e_idx"]}, xp=jnp)
+            if core_plan.mode == "seg":
+                ka_i = line_kernel_arrays(arrays_inst_dev, static, t, p, x)
+                core = core_plan.seg_params(ka_i, xp=jnp)
+            else:
+                core = core_plan.gather(
+                    {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                     "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                     "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                     "e_idx": ka["e_idx"]}, xp=jnp)
             return soa, core
 
         soa, core = jax.vmap(one_layer)(temperature, pressure, vmr)

@@ -86,6 +86,10 @@ def main():
     plan._device_indices()
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    if plan.mode == "seg":
+        arrays_inst_dev = {
+            k: jnp.asarray(v)
+            for k, v in plan.expand_line_arrays(arrays_np).items()}
     pad = -keep % chunk
 
     def assemble(t, p, x, arrays_dev):
@@ -99,11 +103,16 @@ def main():
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)
-        core = plan.gather(
-            {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
-             "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
-             "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-             "e_idx": ka["e_idx"]}, xp=jnp)
+        if plan.mode == "seg":   # production: physics in instance space
+            ka_i = pl_lines.line_kernel_arrays(arrays_inst_dev, static,
+                                               t, p, x)
+            core = plan.seg_params(ka_i, xp=jnp)
+        else:
+            core = plan.gather(
+                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                 "e_idx": ka["e_idx"]}, xp=jnp)
         return soa, core
 
     def physics_only(t, p, x, arrays_dev):
