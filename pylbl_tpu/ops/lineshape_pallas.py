@@ -1007,14 +1007,14 @@ def _pallas_wings_seg_batched(soa, w_start, w_n, params, t_start, t_chunks,
 # seg 1.18 ms (5.4x), 372k vs 506k instance slots.
 CORE_MODE = "seg"
 
-# Wings-pass formulation cap: the segment-32 wings pass evaluates only
-# ~1.04x the masked window points (vs ~3x for the 1024-point tile splat at
-# 0.1 cm-1 resolution) but needs a [8, I] per-layer parameter block
-# (32 B/instance).  Above this instance count (256 MB/layer) the builders
-# fall back to the tile-wings kernel, whose waste ratio (tile + window) /
-# window is small precisely when windows are wide (config-5's 0.01 cm-1
-# grid: 5131-point windows -> only 1.2x).
-WINGS_SEG_MAX_SLOTS = 8 * 2 ** 20
+# Wings-pass formulation cap for the segment-32 wings variant.  MEASURED
+# SLOWER than the tile splat on the headline workload (9.91 vs 6.13
+# ms/layer at 16 layers, 300k lines): the wings math is ~12 cheap ops per
+# (8, 128) block, so the per-chunk cross-lane reduction + column select
+# overhead dominates — unlike the core pass, whose expensive Humlicek
+# math amortizes it.  Default 0 keeps the auto path on tile wings; the
+# formulation stays available for A/B (wings_mode="seg").
+WINGS_SEG_MAX_SLOTS = 0
 
 
 class CorePlan:
@@ -1531,11 +1531,16 @@ class DevicePlan:
     """
 
     def __init__(self, soa, w_start, w_n, core_plan, core_params,
-                 num_points, tile, chunk, interpret=False):
+                 num_points, tile, chunk, interpret=False,
+                 wings_plan=None):
+        # With a seg wings_plan, "soa" holds that plan's [8, I] wings
+        # parameter block instead of the (8, N) SoA (the bench's chained
+        # loop perturbs both blocks generically, so the slot is reused).
         self.soa = jax.device_put(soa)
         self.w_start = jax.device_put(w_start)
         self.w_n = jax.device_put(w_n)
         self.core = core_plan
+        self.wings = wings_plan
         # Attribute name kept from the rows-only era: "groups" is the
         # per-layer core-parameter block of whichever core mode the plan
         # was built with ([64, G] rows / [8, I] seg).
@@ -1551,14 +1556,21 @@ class DevicePlan:
     def run_with(self, soa, groups):
         """Traceable variant for embedding in a larger jitted program
         (e.g. the benchmark's chained-rep loop)."""
+        if self.wings is not None:
+            return (self.wings.seg_pass(soa, interpret=self.interpret)
+                    + self.core.seg_pass(groups, interpret=self.interpret))
         return self.core.wings_core(soa, self.w_start, self.w_n, groups,
                                     self.chunk, self.interpret)
 
 
 def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
                      tile=DEFAULT_TILE, chunk=DEFAULT_CHUNK,
-                     interpret=False, core_mode=None):
-    """Builds a DevicePlan from host kernel arrays (see accumulate_tpu)."""
+                     interpret=False, core_mode=None, wings_mode=None):
+    """Builds a DevicePlan from host kernel arrays (see accumulate_tpu).
+
+    ``wings_mode``: None/"auto" picks the segment-32 wings pass when the
+    parameter block fits (WINGS_SEG_MAX_SLOTS); "seg"/"tile" force it.
+    """
     soa, num = pack_lines_soa(kernel_arrays, chunk)
     s_idx = kernel_arrays["s_idx"].astype(np.int64)
     e_idx = kernel_arrays["e_idx"].astype(np.int64)
@@ -1568,8 +1580,21 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
     plan = CorePlan(cs, ce, int(num_points), tile,
                     sort_key=kernel_arrays["y"], mode=core_mode)
     params = plan.gather(kernel_arrays)
+    wings_plan = None
+    if plan.mode == "seg" and wings_mode != "tile":
+        # Single fixed layer: the exact per-line windows ARE the instance
+        # windows (no envelope widening needed).
+        wp = CorePlan(s_idx, e_idx, int(num_points), tile, mode="seg",
+                      kind="wings")
+        if wings_mode == "seg" or wp.num_instances <= WINGS_SEG_MAX_SLOTS:
+            idx = np.maximum(wp.inst_line, 0)
+            ka_inst = {k: kernel_arrays[k][idx]
+                       for k in ("c_int", "c_frac", "scaled_repwid", "y",
+                                 "prefactor", "s_idx", "e_idx")}
+            soa = wp.wings_params(ka_inst, xp=np)
+            wings_plan = wp
     return DevicePlan(soa, w_start, w_n, plan, params, num_points,
-                      tile, chunk, interpret)
+                      tile, chunk, interpret, wings_plan=wings_plan)
 
 
 def accumulate_tpu(kernel_arrays, kin, num_points, n_per_v, cut_off,

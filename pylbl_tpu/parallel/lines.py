@@ -442,47 +442,62 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         flat_points, tile, sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    use_seg_wings = False
     if core_plan.mode == "seg":
-        # Instance-order line constants: per-layer core params come from
-        # running the elementwise physics directly in instance space — no
-        # per-layer [N, 8] gather + transpose in the jitted program.
-        arrays_inst_dev = {
-            k: jnp.asarray(v)
-            for k, v in core_plan.expand_line_arrays(arrays_np).items()}
+        # Instance-order line constants, expanded ON DEVICE (see
+        # make_batched_tpu_fn): physics runs directly in instance space.
+        core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
+        wings_plan = lp.CorePlan(s_wide, e_wide, flat_points, tile,
+                                 mode="seg", kind="wings")
+        use_seg_wings = (wings_plan.num_instances
+                         <= lp.WINGS_SEG_MAX_SLOTS)
+        if use_seg_wings:
+            wings_inst_dev = wings_plan.expand_line_arrays(arrays_dev,
+                                                           xp=jnp)
     else:
         core_plan._device_indices()   # in-jit gathers close over these
     pad = -keep % chunk
 
+    def assemble_layer(t, p, x):
+        """One layer's kernel inputs: (wings block, core block)."""
+        if core_plan.mode == "seg":
+            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
+            core = core_plan.seg_params(ka_i, xp=jnp)
+            if use_seg_wings:
+                ka_w = line_kernel_arrays(wings_inst_dev, static, t, p, x)
+                return wings_plan.wings_params(ka_w, xp=jnp), core
+        ka = line_kernel_arrays(arrays_dev, static, t, p, x)
+        rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                ka["scaled_repwid"], ka["y"], ka["prefactor"],
+                ka["s_idx"].astype(jnp.float32),
+                ka["e_idx"].astype(jnp.float32),
+                jnp.zeros_like(ka["c_frac"])]
+        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
+        padded = [jnp.pad(r, (0, pad), constant_values=v)
+                  for r, v in zip(rows, fill)]
+        soa = jnp.stack(padded, axis=0)
+        if core_plan.mode != "seg":
+            core = core_plan.gather(
+                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                 "e_idx": ka["e_idx"]}, xp=jnp)
+        return soa, core
+
     @jax.jit
     def fn_jit(temperature, pressure, vmr):
-        def one_layer(t, p, x):
-            ka = line_kernel_arrays(arrays_dev, static, t, p, x)
-            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
-                    ka["scaled_repwid"], ka["y"], ka["prefactor"],
-                    ka["s_idx"].astype(jnp.float32),
-                    ka["e_idx"].astype(jnp.float32),
-                    jnp.zeros_like(ka["c_frac"])]
-            fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
-            padded = [jnp.pad(r, (0, pad), constant_values=v)
-                      for r, v in zip(rows, fill)]
-            soa = jnp.stack(padded, axis=0)
-            if core_plan.mode == "seg":
-                ka_i = line_kernel_arrays(arrays_inst_dev, static, t, p, x)
-                core = core_plan.seg_params(ka_i, xp=jnp)
-            else:
-                core = core_plan.gather(
-                    {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
-                     "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
-                     "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-                     "e_idx": ka["e_idx"]}, xp=jnp)
-            return soa, core
-
-        soa, core = jax.vmap(one_layer)(temperature, pressure, vmr)
-        batch = soa.shape[0]
-        k = core_plan.wings_core(
-            soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
-            np.broadcast_to(w_n, (batch,) + w_n.shape),
-            core, chunk, interpret=interpret)
+        wings_in, core = jax.vmap(assemble_layer)(temperature, pressure,
+                                                  vmr)
+        batch = wings_in.shape[0]
+        if use_seg_wings:
+            k = (wings_plan.seg_pass(wings_in, interpret=interpret)
+                 + core_plan.seg_pass(core, interpret=interpret))
+        else:
+            k = core_plan.wings_core(
+                wings_in,
+                np.broadcast_to(w_start, (batch,) + w_start.shape),
+                np.broadcast_to(w_n, (batch,) + w_n.shape),
+                core, chunk, interpret=interpret)
         return k.reshape(batch, num_gases, num_points)
 
     def _check_envelope(temperature, pressure):
@@ -516,6 +531,9 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
 
     fn.inner = fn_jit  # jit-composable (benchmark loop chaining).
     fn.total = total
+    fn.assemble_layer = assemble_layer
+    fn.core_plan = core_plan
+    fn.wings_plan = wings_plan if use_seg_wings else None
     return fn
 
 
@@ -594,45 +612,63 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         num_points, tile, sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
+    use_seg_wings = False
     if core_plan.mode == "seg":
-        # Instance-order line constants (see make_multigas_batched_fn):
-        # core params computed directly in instance space, no per-layer
-        # gather + transpose in the jitted program.
-        arrays_inst_dev = {
-            k: jnp.asarray(v)
-            for k, v in core_plan.expand_line_arrays(arrays_np).items()}
+        # Instance-order line constants, expanded ON DEVICE (only the
+        # int32 index array crosses the tunnel): core params are computed
+        # directly in instance space — no per-layer gather + transpose in
+        # the jitted program (assembly 4.26 -> 0.14 ms/layer measured).
+        core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
+        # Wings as a segment-32 pass too, when the per-layer parameter
+        # block fits: evaluates ~1.04x the masked window points instead of
+        # the tile splat's ~3x at 0.1 cm-1 resolution.
+        wings_plan = lp.CorePlan(s_wide, e_wide, num_points, tile,
+                                 mode="seg", kind="wings")
+        use_seg_wings = (wings_plan.num_instances
+                         <= lp.WINGS_SEG_MAX_SLOTS)
+        if use_seg_wings:
+            wings_inst_dev = wings_plan.expand_line_arrays(arrays_dev,
+                                                           xp=jnp)
     else:
         core_plan._device_indices()   # in-jit gathers close over these
     pad = -keep % chunk
 
+    def assemble_layer(t, p, x):
+        """One layer's kernel inputs: (wings block, core block)."""
+        if core_plan.mode == "seg":
+            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
+            core = core_plan.seg_params(ka_i, xp=jnp)
+            if use_seg_wings:
+                ka_w = line_kernel_arrays(wings_inst_dev, static, t, p, x)
+                return wings_plan.wings_params(ka_w, xp=jnp), core
+        ka = line_kernel_arrays(arrays_dev, static, t, p, x)
+        rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                ka["scaled_repwid"], ka["y"], ka["prefactor"],
+                ka["s_idx"].astype(jnp.float32),
+                ka["e_idx"].astype(jnp.float32),
+                jnp.zeros_like(ka["c_frac"])]
+        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
+        padded = [jnp.pad(r, (0, pad), constant_values=v)
+                  for r, v in zip(rows, fill)]
+        soa = jnp.stack(padded, axis=0)       # [8, N_pad].
+        if core_plan.mode != "seg":
+            core = core_plan.gather(
+                {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
+                 "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
+                 "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
+                 "e_idx": ka["e_idx"]}, xp=jnp)
+        return soa, core
+
     @jax.jit
     def fn_jit(temperature, pressure, vmr):
-        def one_layer(t, p, x):
-            ka = line_kernel_arrays(arrays_dev, static, t, p, x)
-            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
-                    ka["scaled_repwid"], ka["y"], ka["prefactor"],
-                    ka["s_idx"].astype(jnp.float32),
-                    ka["e_idx"].astype(jnp.float32),
-                    jnp.zeros_like(ka["c_frac"])]
-            fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
-            padded = [jnp.pad(r, (0, pad), constant_values=v)
-                      for r, v in zip(rows, fill)]
-            soa = jnp.stack(padded, axis=0)       # [8, N_pad].
-            if core_plan.mode == "seg":
-                ka_i = line_kernel_arrays(arrays_inst_dev, static, t, p, x)
-                core = core_plan.seg_params(ka_i, xp=jnp)
-            else:
-                core = core_plan.gather(
-                    {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
-                     "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
-                     "prefactor": ka["prefactor"], "s_idx": ka["s_idx"],
-                     "e_idx": ka["e_idx"]}, xp=jnp)
-            return soa, core
-
-        soa, core = jax.vmap(one_layer)(temperature, pressure, vmr)
-        batch = soa.shape[0]
+        wings_in, core = jax.vmap(assemble_layer)(temperature, pressure,
+                                                  vmr)
+        batch = wings_in.shape[0]
+        if use_seg_wings:
+            return (wings_plan.seg_pass(wings_in, interpret=interpret)
+                    + core_plan.seg_pass(core, interpret=interpret))
         return core_plan.wings_core(
-            soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
+            wings_in, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
             core, chunk, interpret=interpret)
 
@@ -655,6 +691,11 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         return fn_jit(temperature, pressure, vmr)
 
     fn.inner = fn_jit  # jit-composable (benchmark loop chaining).
+    # Stage handles for tools/batched_microbench.py (production-path
+    # timing without duplicating builder logic).
+    fn.assemble_layer = assemble_layer
+    fn.core_plan = core_plan
+    fn.wings_plan = wings_plan if use_seg_wings else None
     return fn
 
 

@@ -271,3 +271,49 @@ def test_rows_pass_matches_scalar_core(tmp_path):
         interpret=True))
     scale = np.abs(scalar).max()
     np.testing.assert_allclose(rows, scalar, atol=scale * 1e-6)
+
+
+def test_seg_wings_matches_tile_wings():
+    """The segment-32 Lorentzian wings pass must match the tile-splat
+    wings pass per point up to addition order (the per-point math is
+    bit-identical; only accumulation order differs)."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 256, 128
+    soa, _ = pack_lines_soa(arrays, chunk)
+    s = arrays["s_idx"].astype(np.int64)
+    e = arrays["e_idx"].astype(np.int64)
+    w_start, w_n = tile_line_ranges(s, e, n, tile, chunk)
+    tile_wings = np.asarray(lp._pallas_pass(
+        jax.device_put(soa), w_start, w_n, int(n), tile, chunk, "wings",
+        interpret=True))
+    wp = lp.CorePlan(s, e, int(n), tile, mode="seg", kind="wings",
+                     chunk=chunk)
+    idx = np.maximum(wp.inst_line, 0)
+    ka_inst = {k: arrays[k][idx]
+               for k in ("c_int", "c_frac", "scaled_repwid", "y",
+                         "prefactor", "s_idx", "e_idx")}
+    params = wp.wings_params(ka_inst, xp=np)
+    got = np.asarray(wp.seg_pass(jax.device_put(params), interpret=True))
+    scale = np.abs(tile_wings).max()
+    np.testing.assert_allclose(got, tile_wings, atol=scale * 1e-6)
+
+
+def test_device_plan_wings_modes_agree():
+    """make_device_plan with seg wings == forced tile wings."""
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    plan_seg = lp.make_device_plan(arrays, kin, n, npv, 25, tile=256,
+                                   chunk=128, interpret=True,
+                                   wings_mode="seg")
+    plan_tile = lp.make_device_plan(arrays, kin, n, npv, 25, tile=256,
+                                    chunk=128, interpret=True,
+                                    wings_mode="tile")
+    assert plan_seg.wings is not None and plan_tile.wings is None
+    a, b = np.asarray(plan_seg()), np.asarray(plan_tile())
+    np.testing.assert_allclose(a, b, atol=np.abs(b).max() * 1e-6)
