@@ -1063,6 +1063,15 @@ class CorePlan:
                                 self.c_slot, self.num_points, self.tile,
                                 self.chunk, interpret, kind=self.kind)
 
+    def core_pass(self, params, interpret=False):
+        """The core-correction pass alone, either mode (for compositions
+        that pair it with a non-tile wings pass)."""
+        if self.mode == "seg":
+            return self.seg_pass(params, interpret)
+        return _pallas_rows_pass(params, self.g_start, self.g_n,
+                                 self.num_points, self.tile, self.chunk,
+                                 interpret)
+
     def _device_indices(self):
         """jnp copies of the gather indices, cached so in-jit gathers close
         over device arrays instead of re-embedding megabyte constants.
@@ -1413,6 +1422,239 @@ def _pallas_pass_batched(soa, start, nchunks, num_points, tile, chunk,
     return out.reshape(num_layers, padded_points)[:, :num_points]
 
 
+# --- Strided overlapped-tile wings pass --------------------------------------
+#
+# The plain tile splat evaluates each line over every 1024-point tile its
+# window touches: with 511-point windows that is (tile + window) / window
+# ~= 3x the masked work.  Overlapped tiles remove the straddling: output
+# tiles of `tile` points are laid out every `stride` points (stride |
+# tile), and each line is ASSIGNED to the one tile t = s // stride, which
+# fully contains its (widened) window whenever window <= tile - stride + 1
+# — so each line is evaluated on exactly ONE (8, lanes) block.  Chunk
+# ranges per tile come from the same envelope CSR; chunks straddling an
+# assignment boundary are fetched by both neighbors, and a per-line scalar
+# check against the SoA's assignment row (the _PAD slot) zeroes the
+# foreign lines (STRIDED_CHUNK=128 keeps that slop small).  The
+# overlapping tile outputs combine by ratio = tile // stride shifted adds.
+
+STRIDED_CHUNK = 256
+
+
+def pick_wings_stride(tile, window_max):
+    """Largest power-of-two stride whose overlapped tiles fully contain
+    every window; None if even tile//8 cannot (fall back to tile splat,
+    whose waste ratio (tile + w)/w is small exactly when w is large)."""
+    for stride in (tile // 2, tile // 4, tile // 8):
+        if stride >= 128 and window_max <= tile - stride + 1:
+            return stride
+    return None
+
+
+def strided_line_ranges(assign, num_tiles, chunk=STRIDED_CHUNK):
+    """Per-tile contiguous chunk ranges over the assignment array.
+
+    ``assign`` is near-sorted (nu order, pressure-shift jitter); the
+    running min/max envelopes give a contiguous superset range per tile —
+    the in-kernel assignment check drops the slop lines.
+    """
+    if assign.size == 0:
+        z = np.zeros(num_tiles, np.int32)
+        return z, z
+    amax = np.maximum.accumulate(assign)
+    amin = np.minimum.accumulate(assign[::-1])[::-1]
+    tiles = np.arange(num_tiles, dtype=np.int64)
+    lo = np.searchsorted(amax, tiles, side="left")
+    hi = np.searchsorted(amin, tiles, side="right")
+    lo_aligned = (lo // chunk) * chunk
+    nchunks = np.maximum(-(-(hi - lo_aligned) // chunk), 0)
+    return lo_aligned.astype(np.int32), nchunks.astype(np.int32)
+
+
+def _tile_kernel_strided(chunk, tile, stride, start_ref, nchunks_ref,
+                         lines_ref, out_ref, buf, sems):
+    """Wings accumulation for one overlapped tile [t*stride, t*stride+tile)."""
+    t = pl.program_id(0)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+    t_f = jnp.asarray(t, jnp.int32).astype(jnp.float32)
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            lines_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def one(i, acc):
+            # Scalar assignment check: zero prefactor for lines fetched by
+            # this chunk range but assigned to a neighboring tile.
+            pref = jnp.where(buf[slot, _PAD, i] == t_f,
+                             buf[slot, PREF, i], 0.0)
+            return _lorentz_line(point,
+                                 buf[slot, C_INT, i], buf[slot, C_FRAC, i],
+                                 buf[slot, SRW, i], buf[slot, Y, i],
+                                 pref, buf[slot, S_IDX, i],
+                                 buf[slot, E_IDX, i], acc)
+
+        def line_body(j, acc):
+            i = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            return one(i + 3 * one_i32,
+                       one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, acc)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None]
+
+
+def _tile_kernel_strided_batched(chunk, tile, stride, start_ref,
+                                 nchunks_ref, lines_ref, out_ref, buf,
+                                 sems):
+    """(layer, tile) grid over [B, 8, N] SoA with a SHARED [T] CSR (line
+    assignment is layer-independent)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+    t_f = jnp.asarray(t, jnp.int32).astype(jnp.float32)
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            lines_ref.at[b, :, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def one(i, acc):
+            pref = jnp.where(buf[slot, _PAD, i] == t_f,
+                             buf[slot, PREF, i], 0.0)
+            return _lorentz_line(point,
+                                 buf[slot, C_INT, i], buf[slot, C_FRAC, i],
+                                 buf[slot, SRW, i], buf[slot, Y, i],
+                                 pref, buf[slot, S_IDX, i],
+                                 buf[slot, E_IDX, i], acc)
+
+        def line_body(j, acc):
+            i = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            return one(i + 3 * one_i32,
+                       one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, acc)
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None, None]
+
+
+def _strided_combine(out, num_points, tile, stride):
+    """Overlap-add of the strided tile outputs ([..., T, 8, lanes])."""
+    ratio = tile // stride
+    num_tiles = out.shape[-3]
+    lead = out.shape[:-3]
+    flat = out.reshape(lead + (num_tiles, tile))
+    length = stride * (num_tiles - 1) + tile
+    total = jnp.zeros(lead + (length,), jnp.float32)
+    for g in range(ratio):
+        blk = flat[..., g::ratio, :]
+        blk = blk.reshape(lead + (-1,))
+        pad = [(0, 0)] * len(lead) + [(g * stride,
+                                       length - g * stride - blk.shape[-1])]
+        total = total + jnp.pad(blk, pad)
+    return total[..., :num_points]
+
+
+def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
+                         chunk=STRIDED_CHUNK, interpret=False):
+    """Strided overlapped-tile wings pass; natural [..., num_points] out."""
+    num_tiles = (num_points - 1) // stride + 1
+    lanes = tile // 8
+    batched = soa.ndim == 3
+    if batched:
+        num_layers = soa.shape[0]
+        kernel = functools.partial(_tile_kernel_strided_batched, chunk,
+                                   tile, stride)
+        grid = (num_layers, num_tiles)
+        out_spec = pl.BlockSpec(
+            (1, 1, 8, lanes),
+            lambda b, t, *_: (b, t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((num_layers, num_tiles, 8, lanes),
+                                         jnp.float32)
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        kernel = functools.partial(_tile_kernel_strided, chunk, tile,
+                                   stride)
+        grid = (num_tiles,)
+        out_spec = pl.BlockSpec(
+            (1, 8, lanes),
+            lambda t, *_: (t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((num_tiles, 8, lanes),
+                                         jnp.float32)
+        semantics = ("arbitrary",)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
+        ),
+    )(start, nchunks, soa)
+    return _strided_combine(out, num_points, tile, stride)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_points", "tile", "chunk",
                                     "interpret"))
@@ -1532,15 +1774,18 @@ class DevicePlan:
 
     def __init__(self, soa, w_start, w_n, core_plan, core_params,
                  num_points, tile, chunk, interpret=False,
-                 wings_plan=None):
+                 wings_plan=None, wings_stride=None):
         # With a seg wings_plan, "soa" holds that plan's [8, I] wings
         # parameter block instead of the (8, N) SoA (the bench's chained
         # loop perturbs both blocks generically, so the slot is reused).
+        # With wings_stride, soa's _PAD row carries the tile assignment
+        # and w_start/w_n are the strided CSR.
         self.soa = jax.device_put(soa)
         self.w_start = jax.device_put(w_start)
         self.w_n = jax.device_put(w_n)
         self.core = core_plan
         self.wings = wings_plan
+        self.wings_stride = wings_stride
         # Attribute name kept from the rows-only era: "groups" is the
         # per-layer core-parameter block of whichever core mode the plan
         # was built with ([64, G] rows / [8, I] seg).
@@ -1559,6 +1804,11 @@ class DevicePlan:
         if self.wings is not None:
             return (self.wings.seg_pass(soa, interpret=self.interpret)
                     + self.core.seg_pass(groups, interpret=self.interpret))
+        if self.wings_stride is not None:
+            wings = _pallas_pass_strided(
+                soa, self.w_start, self.w_n, self.num_points, self.tile,
+                self.wings_stride, interpret=self.interpret)
+            return wings + self.core.core_pass(groups, self.interpret)
         return self.core.wings_core(soa, self.w_start, self.w_n, groups,
                                     self.chunk, self.interpret)
 
@@ -1568,33 +1818,48 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
                      interpret=False, core_mode=None, wings_mode=None):
     """Builds a DevicePlan from host kernel arrays (see accumulate_tpu).
 
-    ``wings_mode``: None/"auto" picks the segment-32 wings pass when the
-    parameter block fits (WINGS_SEG_MAX_SLOTS); "seg"/"tile" force it.
+    ``wings_mode``: None/"auto" picks the strided overlapped-tile wings
+    pass when the windows fit (pick_wings_stride); "seg" forces the
+    segment-32 variant, "tile" the plain splat.
     """
     soa, num = pack_lines_soa(kernel_arrays, chunk)
     s_idx = kernel_arrays["s_idx"].astype(np.int64)
     e_idx = kernel_arrays["e_idx"].astype(np.int64)
-    w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile, chunk)
     cs, ce = core_instance_windows(kernel_arrays, kin, num_points, n_per_v,
                                    cut_off)
     plan = CorePlan(cs, ce, int(num_points), tile,
                     sort_key=kernel_arrays["y"], mode=core_mode)
     params = plan.gather(kernel_arrays)
     wings_plan = None
-    if plan.mode == "seg" and wings_mode != "tile":
+    wings_stride = None
+    if plan.mode == "seg" and wings_mode == "seg":
+        # Segment-32 wings (A/B only — measured slower than the splat).
         # Single fixed layer: the exact per-line windows ARE the instance
         # windows (no envelope widening needed).
         wp = CorePlan(s_idx, e_idx, int(num_points), tile, mode="seg",
                       kind="wings")
-        if wings_mode == "seg" or wp.num_instances <= WINGS_SEG_MAX_SLOTS:
-            idx = np.maximum(wp.inst_line, 0)
-            ka_inst = {k: kernel_arrays[k][idx]
-                       for k in ("c_int", "c_frac", "scaled_repwid", "y",
-                                 "prefactor", "s_idx", "e_idx")}
-            soa = wp.wings_params(ka_inst, xp=np)
-            wings_plan = wp
+        idx = np.maximum(wp.inst_line, 0)
+        ka_inst = {k: kernel_arrays[k][idx]
+                   for k in ("c_int", "c_frac", "scaled_repwid", "y",
+                             "prefactor", "s_idx", "e_idx")}
+        soa = wp.wings_params(ka_inst, xp=np)
+        wings_plan = wp
+        w_start = w_n = np.zeros(1, np.int32)  # unused in this mode
+    elif wings_mode != "tile" and num:
+        wings_stride = pick_wings_stride(
+            tile, int((e_idx - s_idx).max(initial=0)) + 1)
+    if wings_stride is not None:
+        assign = np.clip(s_idx, 0, None) // wings_stride
+        soa[_PAD, :num] = assign.astype(np.float32)
+        soa[_PAD, num:] = -1.0
+        num_tiles = (num_points - 1) // wings_stride + 1
+        w_start, w_n = strided_line_ranges(assign, num_tiles)
+    elif wings_plan is None:
+        w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile,
+                                        chunk)
     return DevicePlan(soa, w_start, w_n, plan, params, num_points,
-                      tile, chunk, interpret, wings_plan=wings_plan)
+                      tile, chunk, interpret, wings_plan=wings_plan,
+                      wings_stride=wings_stride)
 
 
 def accumulate_tpu(kernel_arrays, kin, num_points, n_per_v, cut_off,

@@ -442,41 +442,41 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         flat_points, tile, sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    use_seg_wings = False
     if core_plan.mode == "seg":
         # Instance-order line constants, expanded ON DEVICE (see
         # make_batched_tpu_fn): physics runs directly in instance space.
         core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
-        wings_plan = lp.CorePlan(s_wide, e_wide, flat_points, tile,
-                                 mode="seg", kind="wings")
-        use_seg_wings = (wings_plan.num_instances
-                         <= lp.WINGS_SEG_MAX_SLOTS)
-        if use_seg_wings:
-            wings_inst_dev = wings_plan.expand_line_arrays(arrays_dev,
-                                                           xp=jnp)
     else:
         core_plan._device_indices()   # in-jit gathers close over these
     pad = -keep % chunk
+    # Strided overlapped-tile wings over the flat grid (see
+    # make_batched_tpu_fn); assignment from the widened flat windows.
+    wings_stride = lp.pick_wings_stride(
+        tile, int((e_wide - s_wide).max(initial=0)) + 1)
+    if wings_stride is not None:
+        assign = np.clip(s_wide, 0, None) // wings_stride
+        assign_dev = jnp.asarray(assign.astype(np.float32))
+        w_start, w_n = lp.strided_line_ranges(
+            assign, (flat_points - 1) // wings_stride + 1)
 
     def assemble_layer(t, p, x):
-        """One layer's kernel inputs: (wings block, core block)."""
-        if core_plan.mode == "seg":
-            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
-            core = core_plan.seg_params(ka_i, xp=jnp)
-            if use_seg_wings:
-                ka_w = line_kernel_arrays(wings_inst_dev, static, t, p, x)
-                return wings_plan.wings_params(ka_w, xp=jnp), core
+        """One layer's kernel inputs: (wings SoA block, core block)."""
         ka = line_kernel_arrays(arrays_dev, static, t, p, x)
         rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                 ka["scaled_repwid"], ka["y"], ka["prefactor"],
                 ka["s_idx"].astype(jnp.float32),
                 ka["e_idx"].astype(jnp.float32),
-                jnp.zeros_like(ka["c_frac"])]
-        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
+                assign_dev if wings_stride is not None
+                else jnp.zeros_like(ka["c_frac"])]
+        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0,
+                -1.0 if wings_stride is not None else 0.0]
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)
-        if core_plan.mode != "seg":
+        if core_plan.mode == "seg":
+            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
+            core = core_plan.seg_params(ka_i, xp=jnp)
+        else:
             core = core_plan.gather(
                 {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
                  "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
@@ -486,15 +486,16 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
 
     @jax.jit
     def fn_jit(temperature, pressure, vmr):
-        wings_in, core = jax.vmap(assemble_layer)(temperature, pressure,
-                                                  vmr)
-        batch = wings_in.shape[0]
-        if use_seg_wings:
-            k = (wings_plan.seg_pass(wings_in, interpret=interpret)
-                 + core_plan.seg_pass(core, interpret=interpret))
+        soa, core = jax.vmap(assemble_layer)(temperature, pressure, vmr)
+        batch = soa.shape[0]
+        if wings_stride is not None:
+            k = (lp._pallas_pass_strided(
+                    soa, w_start, w_n, flat_points, tile, wings_stride,
+                    interpret=interpret)
+                 + core_plan.core_pass(core, interpret))
         else:
             k = core_plan.wings_core(
-                wings_in,
+                soa,
                 np.broadcast_to(w_start, (batch,) + w_start.shape),
                 np.broadcast_to(w_n, (batch,) + w_n.shape),
                 core, chunk, interpret=interpret)
@@ -533,7 +534,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.total = total
     fn.assemble_layer = assemble_layer
     fn.core_plan = core_plan
-    fn.wings_plan = wings_plan if use_seg_wings else None
+    fn.wings_stride = wings_stride
+    fn.wings_csr = (w_start, w_n)
     return fn
 
 
@@ -612,46 +614,46 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         num_points, tile, sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    use_seg_wings = False
     if core_plan.mode == "seg":
         # Instance-order line constants, expanded ON DEVICE (only the
         # int32 index array crosses the tunnel): core params are computed
         # directly in instance space — no per-layer gather + transpose in
         # the jitted program (assembly 4.26 -> 0.14 ms/layer measured).
         core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
-        # Wings as a segment-32 pass too, when the per-layer parameter
-        # block fits: evaluates ~1.04x the masked window points instead of
-        # the tile splat's ~3x at 0.1 cm-1 resolution.
-        wings_plan = lp.CorePlan(s_wide, e_wide, num_points, tile,
-                                 mode="seg", kind="wings")
-        use_seg_wings = (wings_plan.num_instances
-                         <= lp.WINGS_SEG_MAX_SLOTS)
-        if use_seg_wings:
-            wings_inst_dev = wings_plan.expand_line_arrays(arrays_dev,
-                                                           xp=jnp)
     else:
         core_plan._device_indices()   # in-jit gathers close over these
     pad = -keep % chunk
+    # Strided overlapped-tile wings when the widened windows fit: each
+    # line is evaluated on exactly one tile instead of every tile its
+    # window touches (~3x masked-work waste at 0.1 cm-1 resolution).  The
+    # assignment comes from the layer-independent wide windows; the SoA's
+    # _PAD row carries it for the in-kernel ownership check.
+    wings_stride = lp.pick_wings_stride(
+        tile, int((e_wide - s_wide).max(initial=0)) + 1)
+    if wings_stride is not None:
+        assign = np.clip(s_wide, 0, None) // wings_stride
+        assign_dev = jnp.asarray(assign.astype(np.float32))
+        w_start, w_n = lp.strided_line_ranges(
+            assign, (num_points - 1) // wings_stride + 1)
 
     def assemble_layer(t, p, x):
-        """One layer's kernel inputs: (wings block, core block)."""
-        if core_plan.mode == "seg":
-            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
-            core = core_plan.seg_params(ka_i, xp=jnp)
-            if use_seg_wings:
-                ka_w = line_kernel_arrays(wings_inst_dev, static, t, p, x)
-                return wings_plan.wings_params(ka_w, xp=jnp), core
+        """One layer's kernel inputs: (wings SoA block, core block)."""
         ka = line_kernel_arrays(arrays_dev, static, t, p, x)
         rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                 ka["scaled_repwid"], ka["y"], ka["prefactor"],
                 ka["s_idx"].astype(jnp.float32),
                 ka["e_idx"].astype(jnp.float32),
-                jnp.zeros_like(ka["c_frac"])]
-        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
+                assign_dev if wings_stride is not None
+                else jnp.zeros_like(ka["c_frac"])]
+        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0,
+                -1.0 if wings_stride is not None else 0.0]
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)       # [8, N_pad].
-        if core_plan.mode != "seg":
+        if core_plan.mode == "seg":
+            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
+            core = core_plan.seg_params(ka_i, xp=jnp)
+        else:
             core = core_plan.gather(
                 {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
                  "scaled_repwid": ka["scaled_repwid"], "y": ka["y"],
@@ -661,14 +663,15 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
 
     @jax.jit
     def fn_jit(temperature, pressure, vmr):
-        wings_in, core = jax.vmap(assemble_layer)(temperature, pressure,
-                                                  vmr)
-        batch = wings_in.shape[0]
-        if use_seg_wings:
-            return (wings_plan.seg_pass(wings_in, interpret=interpret)
-                    + core_plan.seg_pass(core, interpret=interpret))
+        soa, core = jax.vmap(assemble_layer)(temperature, pressure, vmr)
+        batch = soa.shape[0]
+        if wings_stride is not None:
+            wings = lp._pallas_pass_strided(
+                soa, w_start, w_n, num_points, tile, wings_stride,
+                interpret=interpret)
+            return wings + core_plan.core_pass(core, interpret)
         return core_plan.wings_core(
-            wings_in, np.broadcast_to(w_start, (batch,) + w_start.shape),
+            soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
             core, chunk, interpret=interpret)
 
@@ -695,7 +698,8 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     # timing without duplicating builder logic).
     fn.assemble_layer = assemble_layer
     fn.core_plan = core_plan
-    fn.wings_plan = wings_plan if use_seg_wings else None
+    fn.wings_stride = wings_stride
+    fn.wings_csr = (w_start, w_n)
     return fn
 
 

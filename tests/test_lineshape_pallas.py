@@ -317,3 +317,47 @@ def test_device_plan_wings_modes_agree():
     assert plan_seg.wings is not None and plan_tile.wings is None
     a, b = np.asarray(plan_seg()), np.asarray(plan_tile())
     np.testing.assert_allclose(a, b, atol=np.abs(b).max() * 1e-6)
+
+
+def test_strided_wings_matches_tile_wings():
+    """The overlapped strided-tile wings pass (each line evaluated in its
+    single assigned tile, ownership-checked via the SoA _PAD row) must
+    match the plain tile splat per point up to addition order."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 1024, 128
+    soa, num = pack_lines_soa(arrays, chunk)
+    s = arrays["s_idx"].astype(np.int64)
+    e = arrays["e_idx"].astype(np.int64)
+    w_start, w_n = tile_line_ranges(s, e, n, tile, chunk)
+    want = np.asarray(lp._pallas_pass(
+        jax.device_put(soa), w_start, w_n, int(n), tile, chunk, "wings",
+        interpret=True))
+
+    stride = lp.pick_wings_stride(tile, int((e - s).max()) + 1)
+    assert stride in (256, 512)
+    assign = np.clip(s, 0, None) // stride
+    soa2 = soa.copy()
+    soa2[lp._PAD, :num] = assign.astype(np.float32)
+    soa2[lp._PAD, num:] = -1.0
+    # chunk=128 explicitly: the tiny pack is padded to 128 lines, below
+    # the production STRIDED_CHUNK.
+    st, nc = lp.strided_line_ranges(assign, (n - 1) // stride + 1,
+                                    chunk=chunk)
+    got = np.asarray(lp._pallas_pass_strided(
+        jax.device_put(soa2), st, nc, int(n), tile, stride, chunk=chunk,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 1e-6)
+
+    # Batched variant (shared CSR) == per-layer loop.
+    soa_b = np.stack([soa2, soa2 * 1.0])
+    soa_b[1, lp.PREF] *= 0.5
+    got_b = np.asarray(lp._pallas_pass_strided(
+        jax.device_put(soa_b), st, nc, int(n), tile, stride, chunk=chunk,
+        interpret=True))
+    np.testing.assert_allclose(got_b[0], got, rtol=0, atol=0)
+    np.testing.assert_allclose(got_b[1], got * 0.5,
+                               atol=np.abs(want).max() * 1e-6)

@@ -22,6 +22,7 @@ import jax.numpy as jnp        # noqa: E402
 
 from pylbl_tpu.database.fixtures import synthetic_line_pack   # noqa: E402
 from pylbl_tpu.models.lines import internal_grid              # noqa: E402
+from pylbl_tpu.ops import lineshape_pallas as lp              # noqa: E402
 from pylbl_tpu.parallel import lines as pl_lines              # noqa: E402
 
 CUT_OFF = 25
@@ -57,7 +58,9 @@ def main():
 
     fn = pl_lines.make_batched_tpu_fn(pack, grid, cut_off=CUT_OFF)
     assemble = fn.assemble_layer
-    core_plan, wings_plan = fn.core_plan, fn.wings_plan
+    core_plan = fn.core_plan
+    wings_stride = fn.wings_stride
+    ws_d, wn_d = map(jnp.asarray, fn.wings_csr)
     keep = pack.compat_break_filter(v0, vn, CUT_OFF)
 
     arrays_np, static = pl_lines.device_line_pack(pack, grid,
@@ -95,7 +98,7 @@ def main():
     wings0 = jax.device_put(wings0)
     core0 = jax.device_put(core0)
 
-    def pass_stage(plan, block0):
+    def chained(pass_fn, block0):
         # Pallas outputs are DCE-safe (a pallas_call runs whole), so a
         # single-element carry suffices here.
         @jax.jit
@@ -103,12 +106,24 @@ def main():
             def body(i, carry):
                 acc, g = carry
                 g = jnp.where(acc >= -1.0, g, 0.0)
-                out = plan.seg_pass(g)
+                out = pass_fn(g)
                 return (acc + out[0, 0], g)
             acc, _ = jax.lax.fori_loop(0, reps, body,
                                        (jnp.float32(0), block0))
             return acc
         return lambda reps: stage_(block0, reps)
+
+    if wings_stride is not None:
+        def wings_pass(soa):
+            return lp._pallas_pass_strided(soa, ws_d, wn_d, int(n),
+                                           lp.DEFAULT_TILE, wings_stride)
+    else:
+        def wings_pass(soa):
+            batch = soa.shape[0]
+            return lp._pallas_pass_batched(
+                soa, jnp.broadcast_to(ws_d, (batch,) + ws_d.shape),
+                jnp.broadcast_to(wn_d, (batch,) + wn_d.shape), int(n),
+                lp.DEFAULT_TILE, lp.DEFAULT_CHUNK, "wings")
 
     @jax.jit
     def full_(reps):
@@ -120,18 +135,17 @@ def main():
         return acc
 
     stages = [("physics", physics_stage_),
-              ("assemble(phys+blocks)", assembly_stage_)]
-    if wings_plan is not None:
-        stages.append((f"wings-seg[{wings_plan.num_instances}]",
-                       pass_stage(wings_plan, wings0)))
+              ("assemble(phys+blocks)", assembly_stage_),
+              (f"wings[{wings_stride or 'tile'}]",
+               chained(wings_pass, wings0))]
     if core_plan.mode == "seg":
         stages.append((f"core-seg[{core_plan.num_instances}]",
-                       pass_stage(core_plan, core0)))
+                       chained(lambda g: core_plan.seg_pass(g), core0)))
     stages.append(("full-batched", full_))
 
     print(f"lines={keep} layers={num_layers} grid={n} "
           f"core_mode={core_plan.mode} "
-          f"wings={'seg' if wings_plan is not None else 'tile'}")
+          f"wings_stride={wings_stride}")
     for name, stage in stages:
         dt = chained_time(stage, reps)
         print(f"{name:28s} {dt * 1e3:9.2f} ms total "

@@ -49,8 +49,8 @@ def main():
                              n_per_v, cut_off=CUT_OFF)
     scale = want.max()
 
-    for core_mode, wings_mode in (("seg", "seg"), ("seg", "tile"),
-                                  ("rows", "tile")):
+    for core_mode, wings_mode in (("seg", None), ("seg", "tile"),
+                                  ("seg", "seg"), ("rows", "tile")):
         t0 = time.perf_counter()
         plan = make_device_plan(arrays, kin, n, n_per_v, CUT_OFF,
                                 core_mode=core_mode, wings_mode=wings_mode)
