@@ -1134,17 +1134,26 @@ class CorePlan:
                 self._dead_dev = jnp.asarray(self.inst_line < 0)
         return self._dead_dev
 
-    def seg_params(self, ka_inst, xp=jnp):
+    def seg_params(self, ka_inst, xp=jnp, consts=None):
         """[..., 8, I] core parameters from INSTANCE-order kernel arrays.
 
         ``ka_inst`` is the line_kernel_arrays output computed on
         :meth:`expand_line_arrays` constants.  Produces the same block as
         ``gather`` (same derived rows, same dead-lane fills:
         gather_segment_params) without the per-layer gather.
+
+        ``consts``: optional (seg0f, dead) pair passed as explicit traced
+        arguments — callers embedding this in a jitted program should
+        thread :meth:`_seg_device_consts` through their own parameters
+        (closed-over megabyte constants end up in the compile payload,
+        which the tunneled remote-compile endpoint rejects at config-5
+        scale).
         """
         if self.mode != "seg":
             raise ValueError("seg_params requires seg mode")
-        if xp is np:
+        if consts is not None:
+            seg0f, dead = consts
+        elif xp is np:
             seg0f = self.seg0.astype(np.float32)
             dead = self.inst_line < 0
         else:

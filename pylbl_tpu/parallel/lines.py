@@ -459,14 +459,23 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         w_start, w_n = lp.strided_line_ranges(
             assign, (flat_points - 1) // wings_stride + 1)
 
-    def assemble_layer(t, p, x):
+    # Big device-resident inputs threaded through jit as ARGUMENTS, never
+    # closures (see make_batched_tpu_fn: 413-sized compile payloads).
+    big = {"arrays": arrays_dev}
+    if core_plan.mode == "seg":
+        big["core_inst"] = core_inst_dev
+        big["seg"] = core_plan._seg_device_consts()
+    if wings_stride is not None:
+        big["assign"] = assign_dev
+
+    def _assemble(big, t, p, x):
         """One layer's kernel inputs: (wings SoA block, core block)."""
-        ka = line_kernel_arrays(arrays_dev, static, t, p, x)
+        ka = line_kernel_arrays(big["arrays"], static, t, p, x)
         rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                 ka["scaled_repwid"], ka["y"], ka["prefactor"],
                 ka["s_idx"].astype(jnp.float32),
                 ka["e_idx"].astype(jnp.float32),
-                assign_dev if wings_stride is not None
+                big["assign"] if wings_stride is not None
                 else jnp.zeros_like(ka["c_frac"])]
         fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0,
                 -1.0 if wings_stride is not None else 0.0]
@@ -474,8 +483,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)
         if core_plan.mode == "seg":
-            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
-            core = core_plan.seg_params(ka_i, xp=jnp)
+            ka_i = line_kernel_arrays(big["core_inst"], static, t, p, x)
+            core = core_plan.seg_params(ka_i, xp=jnp, consts=big["seg"])
         else:
             core = core_plan.gather(
                 {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
@@ -485,8 +494,10 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         return soa, core
 
     @jax.jit
-    def fn_jit(temperature, pressure, vmr):
-        soa, core = jax.vmap(assemble_layer)(temperature, pressure, vmr)
+    def _fn_impl(big, temperature, pressure, vmr):
+        soa, core = jax.vmap(
+            lambda a, b, c_: _assemble(big, a, b, c_))(
+                temperature, pressure, vmr)
         batch = soa.shape[0]
         if wings_stride is not None:
             k = (lp._pallas_pass_strided(
@@ -500,6 +511,12 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                 np.broadcast_to(w_n, (batch,) + w_n.shape),
                 core, chunk, interpret=interpret)
         return k.reshape(batch, num_gases, num_points)
+
+    def fn_jit(temperature, pressure, vmr):
+        return _fn_impl(big, temperature, pressure, vmr)
+
+    def assemble_layer(t, p, x):
+        return _assemble(big, t, p, x)
 
     def _check_envelope(temperature, pressure):
         t_check = np.asarray(temperature)
@@ -516,11 +533,14 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                 "larger p_max_atm")
 
     @jax.jit
-    def total_jit(temperature, pressure, vmr):
-        k = fn_jit(temperature, pressure, vmr)       # [B, G, n]
+    def _total_impl(big, temperature, pressure, vmr):
+        k = _fn_impl(big, temperature, pressure, vmr)    # [B, G, n]
         n_density = pressure[:, None] * vmr / (
             jnp.float32(c.KB) * temperature[:, None])
         return jnp.einsum("bgn,bg->bn", k, n_density)
+
+    def total_jit(temperature, pressure, vmr):
+        return _total_impl(big, temperature, pressure, vmr)
 
     def fn(temperature, pressure, vmr):
         _check_envelope(temperature, pressure)
@@ -636,14 +656,25 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         w_start, w_n = lp.strided_line_ranges(
             assign, (num_points - 1) // wings_stride + 1)
 
-    def assemble_layer(t, p, x):
+    # Big device-resident inputs are threaded through jit as ARGUMENTS,
+    # never closures: closed-over arrays become jaxpr constants and ride
+    # the remote-compile payload, which the tunnel rejects at config-5
+    # scale (HTTP 413 at ~730 MB of instance-expanded constants).
+    big = {"arrays": arrays_dev}
+    if core_plan.mode == "seg":
+        big["core_inst"] = core_inst_dev
+        big["seg"] = core_plan._seg_device_consts()
+    if wings_stride is not None:
+        big["assign"] = assign_dev
+
+    def _assemble(big, t, p, x):
         """One layer's kernel inputs: (wings SoA block, core block)."""
-        ka = line_kernel_arrays(arrays_dev, static, t, p, x)
+        ka = line_kernel_arrays(big["arrays"], static, t, p, x)
         rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                 ka["scaled_repwid"], ka["y"], ka["prefactor"],
                 ka["s_idx"].astype(jnp.float32),
                 ka["e_idx"].astype(jnp.float32),
-                assign_dev if wings_stride is not None
+                big["assign"] if wings_stride is not None
                 else jnp.zeros_like(ka["c_frac"])]
         fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0,
                 -1.0 if wings_stride is not None else 0.0]
@@ -651,8 +682,8 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)       # [8, N_pad].
         if core_plan.mode == "seg":
-            ka_i = line_kernel_arrays(core_inst_dev, static, t, p, x)
-            core = core_plan.seg_params(ka_i, xp=jnp)
+            ka_i = line_kernel_arrays(big["core_inst"], static, t, p, x)
+            core = core_plan.seg_params(ka_i, xp=jnp, consts=big["seg"])
         else:
             core = core_plan.gather(
                 {"c_int": ka["c_int"], "c_frac": ka["c_frac"],
@@ -662,8 +693,10 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         return soa, core
 
     @jax.jit
-    def fn_jit(temperature, pressure, vmr):
-        soa, core = jax.vmap(assemble_layer)(temperature, pressure, vmr)
+    def _fn_impl(big, temperature, pressure, vmr):
+        soa, core = jax.vmap(
+            lambda a, b, c_: _assemble(big, a, b, c_))(
+                temperature, pressure, vmr)
         batch = soa.shape[0]
         if wings_stride is not None:
             wings = lp._pallas_pass_strided(
@@ -674,6 +707,12 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
             core, chunk, interpret=interpret)
+
+    def fn_jit(temperature, pressure, vmr):
+        return _fn_impl(big, temperature, pressure, vmr)
+
+    def assemble_layer(t, p, x):
+        return _assemble(big, t, p, x)
 
     def fn(temperature, pressure, vmr):
         # The core-instance windows were sized for (t_max, p_max_atm);

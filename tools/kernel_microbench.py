@@ -138,6 +138,48 @@ def main():
                                       (jnp.float32(0), soa_d, params_d))
         return acc
 
+    wings_stride = lp.pick_wings_stride(tile,
+                                        int((e_idx - s_idx).max()) + 1)
+    if wings_stride is not None:
+        soa_st = soa.copy()
+        num = keep
+        assign = np.clip(s_idx, 0, None) // wings_stride
+        soa_st[lp._PAD, :num] = assign.astype(np.float32)
+        soa_st[lp._PAD, num:] = -1.0
+        st2, nc2 = lp.strided_line_ranges(
+            assign, (n - 1) // wings_stride + 1)
+        soa_st_d, st2_d, nc2_d = map(jax.device_put, (soa_st, st2, nc2))
+
+        @jax.jit
+        def wings_strided(reps):
+            def body(i, carry):
+                acc, s = carry
+                s = jnp.where(acc >= -1.0, s, 0.0)
+                out = lp._pallas_pass_strided(s, st2_d, nc2_d, int(n),
+                                              tile, wings_stride)
+                return (acc + out[0], s)
+            acc, _ = jax.lax.fori_loop(0, reps, body,
+                                       (jnp.float32(0), soa_st_d))
+            return acc
+
+        @jax.jit
+        def two_pass_strided(reps):
+            def body(i, carry):
+                acc, s, p = carry
+                s = jnp.where(acc >= -1.0, s, 0.0)
+                p = jnp.where(acc >= -1.0, p, 0.0)
+                out = lp._pallas_pass_strided(s, st2_d, nc2_d, int(n),
+                                              tile, wings_stride)
+                out = out + lp._pallas_seg_pass(p, ts_d, tc_d, slot_d,
+                                                int(n), tile,
+                                                lp.ROWS_CHUNK)
+                return (acc + jnp.sum(out) * jnp.float32(1e-30), s, p)
+            acc, _, _ = jax.lax.fori_loop(
+                0, reps, body, (jnp.float32(0), soa_st_d, params_d))
+            return acc
+    else:
+        wings_strided = two_pass_strided = None
+
     ymin = lp.group_min_y(groups)
     ymin_d = jax.device_put(ymin)
 
@@ -169,14 +211,18 @@ def main():
     slots = int(g_n.sum()) * lp.ROWS_CHUNK * 8
     seg_slots = int(seg_inst.size)
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    for name, fn, visits in [
-            ("wings", make("wings", ws, wn), int(w_n.sum()) * chunk),
-            ("core-scalar", make("core", cs, cn), int(c_n.sum()) * chunk),
-            ("core-rows", rows_core, slots),
-            ("core-rows-vmem", rows_core_vmem, slots),
-            ("core-seg", seg_core, seg_slots),
-            ("two-pass", two_pass, None),
-            ("two-pass-seg", two_pass_seg, None)]:
+    stages = [
+        ("wings", make("wings", ws, wn), int(w_n.sum()) * chunk),
+        ("core-scalar", make("core", cs, cn), int(c_n.sum()) * chunk),
+        ("core-rows", rows_core, slots),
+        ("core-rows-vmem", rows_core_vmem, slots),
+        ("core-seg", seg_core, seg_slots),
+        ("two-pass", two_pass, None),
+        ("two-pass-seg", two_pass_seg, None)]
+    if wings_strided is not None:
+        stages += [(f"wings-strided[{wings_stride}]", wings_strided, None),
+                   ("two-pass-strided", two_pass_strided, None)]
+    for name, fn, visits in stages:
         if only is not None and name not in only:
             continue
         dt = chained_time(fn, reps)
