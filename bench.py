@@ -65,7 +65,10 @@ TEMPERATURE = 288.99  # surface layer of the canonical test column.
 PRESSURE = 98388.0
 VMR = 6.637074e-03
 CUT_OFF = 25
-DEADLINE_S = 600.0  # extras stop starting after this much wall time.
+# Extras stop *starting* after this much wall time.  Sized for the
+# worst observed remote-compile variance: the headline stage alone has
+# ranged 229-713 s across runs on the tunneled TPU with identical code.
+DEADLINE_S = 840.0
 _T0 = time.perf_counter()
 
 # Reference C single-core rate on the FULL headline workload (300k-line
@@ -402,9 +405,12 @@ def main():
              "pinned_c_evals_per_s": PINNED_C_EVALS_PER_S,
              "reference_c_evals_per_s_live": round(ref, 1) if ref else None,
              "parity": parity(spectrum, expected, pack.nu.size)}
+    # Order = information value under a tight budget: the batched rate
+    # shares its compile with the per-layer parity check, config-5 is the
+    # at-scale demonstration, the stacked rate comes last.
     for key, fn in (("batched_4layer", lambda: batched_rate(pack, grid)),
-                    ("multigas_7gas", lambda: multigas_rate(grid)),
-                    ("config5", config5_streamed)):
+                    ("config5", config5_streamed),
+                    ("multigas_7gas", lambda: multigas_rate(grid))):
         if over_deadline():
             extra[key] = "skipped (deadline)"
             continue
