@@ -407,15 +407,23 @@ def main():
              "parity": parity(spectrum, expected, pack.nu.size)}
     # Order = information value under a tight budget: the batched rate
     # shares its compile with the per-layer parity check, config-5 is the
-    # at-scale demonstration, the stacked rate comes last.
-    for key, fn in (("batched_4layer", lambda: batched_rate(pack, grid)),
-                    ("config5", config5_streamed),
-                    ("multigas_7gas", lambda: multigas_rate(grid))):
-        if over_deadline():
+    # at-scale demonstration, the stacked rate comes last.  config-5's
+    # one-time remote build+compile has measured up to ~435 s, so its
+    # alarm RESERVES room for the stacked stage, and the stacked stage's
+    # start window is widened by the same amount — a slow config-5 run
+    # can be clipped, but it can never starve the production-rate
+    # evidence behind it.
+    stages = (("batched_4layer", lambda: batched_rate(pack, grid),
+               0.0, 0.0),
+              ("config5", config5_streamed, 160.0, 0.0),
+              ("multigas_7gas", lambda: multigas_rate(grid), 0.0, 160.0))
+    for key, fn, reserve, grace in stages:
+        if time.perf_counter() - _T0 > DEADLINE_S + grace:
             extra[key] = "skipped (deadline)"
             continue
         t0 = time.perf_counter()
-        budget = DEADLINE_S + 60.0 - (time.perf_counter() - _T0)
+        budget = (DEADLINE_S + grace + 60.0 - reserve
+                  - (time.perf_counter() - _T0))
         try:
             with stage_alarm(budget):
                 extra[key] = fn()
