@@ -756,11 +756,12 @@ def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
                     fills[:, None], vals)
 
 
-def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk):
+def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
+                          seg=SEG):
     """Accumulates one 128-instance chunk into the transposed tile block.
 
     blk: (8, chunk) lane-major params; acc: (8, lanes) transposed
-    accumulator; m_base: the chunk's segment column (4 * slot);
+    accumulator; m_base: the chunk's segment column (seg//8 * slot);
     point_base: f32 absolute grid point of the segment start (used by the
     wings variant; this core variant works in seg0-relative coordinates).
     """
@@ -777,7 +778,7 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk):
     def with_correction(corr_fn):
         def go():
             out = acc
-            for k in range(4):
+            for k in range(seg // 8):
                 o = (p_sub + jnp.int32(8 * k)).astype(jnp.float32)
                 x = ((seg0_rel + o) - c_frac) * srw
                 val = corr_fn(x, y)
@@ -800,7 +801,7 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk):
 
 
 def _seg_chunk_accumulate_lorentz(blk, col, m_base, point_base, acc,
-                                  chunk):
+                                  chunk, seg=SEG):
     """Lorentzian (wings) variant of :func:`_seg_chunk_accumulate`.
 
     Same lane-major layout and transposed accumulation; the per-point math
@@ -824,7 +825,7 @@ def _seg_chunk_accumulate_lorentz(blk, col, m_base, point_base, acc,
     ysq = y * y
     p_sub = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), dimension=0)
     out = acc
-    for k in range(4):
+    for k in range(seg // 8):
         point = (p_sub + jnp.int32(8 * k)).astype(jnp.float32) + point_base
         x = ((point - c_int) - c_frac) * srw
         val = pref_y / (x * x + ysq)
@@ -835,8 +836,8 @@ def _seg_chunk_accumulate_lorentz(blk, col, m_base, point_base, acc,
     return out
 
 
-def _seg_kernel(seg_fn, chunk, tile, start_ref, nchunks_ref, slot_ref,
-                params_ref, out_ref, buf, sems):
+def _seg_kernel(seg_fn, chunk, tile, seg, start_ref, nchunks_ref,
+                slot_ref, params_ref, out_ref, buf, sems):
     t = pl.program_id(0)
     base = start_ref[t]
     nchunks = nchunks_ref[t]
@@ -863,7 +864,7 @@ def _seg_kernel(seg_fn, chunk, tile, start_ref, nchunks_ref, slot_ref,
             chunk_dma(1 - slot, k + 1).start()
 
         chunk_dma(slot, k).wait()
-        m_base = slot_ref[base + k] * jnp.int32(4)
+        m_base = slot_ref[base + k] * jnp.int32(seg // 8)
         point_base = (t * jnp.int32(tile)
                       + m_base * jnp.int32(8)).astype(jnp.float32)
         return seg_fn(buf[slot], col, m_base, point_base, acc, chunk)
@@ -873,8 +874,9 @@ def _seg_kernel(seg_fn, chunk, tile, start_ref, nchunks_ref, slot_ref,
     out_ref[...] = acc[None]
 
 
-def _seg_kernel_batched(seg_fn, chunk, tile, start_ref, nchunks_ref,
-                        slot_ref, params_ref, out_ref, buf, sems):
+def _seg_kernel_batched(seg_fn, chunk, tile, seg, start_ref,
+                        nchunks_ref, slot_ref, params_ref, out_ref, buf,
+                        sems):
     """(layer, tile) grid over [B, 8, I] params with shared [T] CSR."""
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -903,7 +905,7 @@ def _seg_kernel_batched(seg_fn, chunk, tile, start_ref, nchunks_ref,
             chunk_dma(1 - slot, k + 1).start()
 
         chunk_dma(slot, k).wait()
-        m_base = slot_ref[base + k] * jnp.int32(4)
+        m_base = slot_ref[base + k] * jnp.int32(seg // 8)
         point_base = (t * jnp.int32(tile)
                       + m_base * jnp.int32(8)).astype(jnp.float32)
         return seg_fn(buf[slot], col, m_base, point_base, acc, chunk)
@@ -915,7 +917,7 @@ def _seg_kernel_batched(seg_fn, chunk, tile, start_ref, nchunks_ref,
 
 def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
                      num_points, tile, chunk=ROWS_CHUNK, interpret=False,
-                     kind="core"):
+                     kind="core", seg=SEG):
     """Segment-32 pass; [num_points] (or [B, num_points]) natural layout
     (the kernel accumulates transposed; one XLA transpose after).
 
@@ -925,11 +927,13 @@ def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
     num_tiles = -(-num_points // tile)
     lanes = tile // 8
     batched = params.ndim == 3
-    seg_fn = (_seg_chunk_accumulate if kind == "core"
-              else _seg_chunk_accumulate_lorentz)
+    seg_fn = functools.partial(
+        _seg_chunk_accumulate if kind == "core"
+        else _seg_chunk_accumulate_lorentz, seg=seg)
     if batched:
         num_layers = params.shape[0]
-        kernel = functools.partial(_seg_kernel_batched, seg_fn, chunk, tile)
+        kernel = functools.partial(_seg_kernel_batched, seg_fn, chunk,
+                                   tile, seg)
         grid = (num_layers, num_tiles)
         out_spec = pl.BlockSpec(
             (1, 1, 8, lanes),
@@ -939,7 +943,7 @@ def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
             (num_layers, num_tiles, 8, lanes), jnp.float32)
         semantics = ("arbitrary", "arbitrary")
     else:
-        kernel = functools.partial(_seg_kernel, seg_fn, chunk, tile)
+        kernel = functools.partial(_seg_kernel, seg_fn, chunk, tile, seg)
         grid = (num_tiles,)
         out_spec = pl.BlockSpec(
             (1, 8, lanes),
@@ -1029,9 +1033,11 @@ class CorePlan:
     """
 
     def __init__(self, core_start, core_end, num_points, tile,
-                 sort_key=None, mode=None, chunk=ROWS_CHUNK, kind="core"):
+                 sort_key=None, mode=None, chunk=ROWS_CHUNK, kind="core",
+                 seg=SEG):
         self.mode = CORE_MODE if mode is None else mode
         self.kind = kind
+        self.seg = seg
         self.num_points = int(num_points)
         self.tile = tile
         self.chunk = chunk
@@ -1040,8 +1046,8 @@ class CorePlan:
         if self.mode == "seg":
             (self.inst_line, self.seg0, self.t_start, self.t_chunks,
              self.c_slot) = build_core_segments(
-                core_start, core_end, num_points, tile=tile, chunk=chunk,
-                sort_key=sort_key)
+                core_start, core_end, num_points, tile=tile, seg=seg,
+                chunk=chunk, sort_key=sort_key)
         elif self.mode == "rows":
             self.inst_line, self.g_start, self.g_n = build_core_groups(
                 core_start, core_end, num_points, tile, chunk,
@@ -1061,7 +1067,8 @@ class CorePlan:
             raise ValueError("seg_pass requires seg mode")
         return _pallas_seg_pass(params, self.t_start, self.t_chunks,
                                 self.c_slot, self.num_points, self.tile,
-                                self.chunk, interpret, kind=self.kind)
+                                self.chunk, interpret, kind=self.kind,
+                                seg=self.seg)
 
     def core_pass(self, params, interpret=False):
         """The core-correction pass alone, either mode (for compositions

@@ -361,3 +361,23 @@ def test_strided_wings_matches_tile_wings():
     np.testing.assert_allclose(got_b[0], got, rtol=0, atol=0)
     np.testing.assert_allclose(got_b[1], got * 0.5,
                                atol=np.abs(want).max() * 1e-6)
+
+
+def test_seg_pass_width16_matches_width32():
+    """Core segment pass with 16-point segments == 32-point segments."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 256, 128
+    cs, ce = lp.core_instance_windows(arrays, kin, n, npv, 25)
+    outs = []
+    for seg in (32, 16):
+        plan = lp.CorePlan(cs, ce, int(n), tile, sort_key=arrays["y"],
+                           mode="seg", chunk=chunk, seg=seg)
+        params = plan.gather(arrays)
+        outs.append(np.asarray(plan.seg_pass(jax.device_put(params),
+                                             interpret=True)))
+    scale = np.abs(outs[0]).max()
+    np.testing.assert_allclose(outs[1], outs[0], atol=scale * 1e-6)
