@@ -116,9 +116,11 @@ def window_evals(keep, n_per_v):
     return keep * ((2 * CUT_OFF + 1) * n_per_v + 1)
 
 
-def tpu_rate(pack, grid, reps=10):
-    """Headline rate AND the float32 spectrum the timed program computed
-    (one compile serves both the rate and the oracle parity)."""
+def tpu_warm(pack, grid):
+    """Builds + compiles + warm-runs the headline program.  Returns a
+    measure() closure whose wall contains ONLY the timed chained runs, so
+    the warm (compile-dominated, 229-998 s observed through the tunnel)
+    can overlap the extras subprocess's own warmups."""
     import jax
     import jax.numpy as jnp
 
@@ -150,18 +152,28 @@ def tpu_rate(pack, grid, reps=10):
         acc, out = chained(plan.soa, plan.groups, nreps)
         return float(acc), out
 
-    _, out = run(1)                             # compile
-    t0 = time.perf_counter()
-    run(1)
-    one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(reps + 1)
-    many = time.perf_counter() - t0
-    per_spectrum = max((many - one) / reps, 1e-9)
-    spectrum = np.asarray(out, np.float64)
-    assert np.isfinite(spectrum).all() and spectrum.max() > 0
-    return window_evals(keep, n_per_v) / per_spectrum, \
-        n / per_spectrum, spectrum
+    run(1)                                      # compile + warm
+
+    def measure(reps=10):
+        t0 = time.perf_counter()
+        _, out = run(1)
+        one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(reps + 1)
+        many = time.perf_counter() - t0
+        per_spectrum = max((many - one) / reps, 1e-9)
+        spectrum = np.asarray(out, np.float64)
+        assert np.isfinite(spectrum).all() and spectrum.max() > 0
+        return window_evals(keep, n_per_v) / per_spectrum, \
+            n / per_spectrum, spectrum
+
+    return measure
+
+
+def tpu_rate(pack, grid, reps=10):
+    """Headline rate AND the float32 spectrum the timed program computed
+    (one compile serves both the rate and the oracle parity)."""
+    return tpu_warm(pack, grid)(reps)
 
 
 def reference_rate(pack, grid):
@@ -197,10 +209,11 @@ def parity(spectrum, expected, num_lines):
             "workload_lines": int(num_lines)}
 
 
-def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
-    """Steady-state rate of a jitted [B]-batched pipeline via the same
-    loop-carried fori chaining as the headline; also returns the final
-    output so the caller's parity check reuses this compile."""
+def make_chained(inner, args, per_call_points, per_call_evals, reps=5):
+    """(warm, measure) pair for a jitted [B]-batched pipeline, timed with
+    the same loop-carried fori chaining as the headline.  warm() pays the
+    compile; measure() contains only the timed runs and also returns the
+    final output so the caller's parity check reuses this compile."""
     import jax
     import jax.numpy as jnp
 
@@ -215,21 +228,36 @@ def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
         return acc, inner(tfin, p, x)
 
     t, p, x = args
-    float(chained(t, p, x, 1)[0])
-    t0 = time.perf_counter()
-    float(chained(t, p, x, 1)[0])
-    one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    acc, out = chained(t, p, x, reps + 1)
-    float(acc)
-    many = time.perf_counter() - t0
-    per_call = max((many - one) / reps, 1e-9)
-    return {"points_per_s": round(per_call_points / per_call, 1),
-            "evals_per_s": round(per_call_evals / per_call, 1),
-            "wall_s_per_call": round(per_call, 5)}, out
+
+    def warm():
+        float(chained(t, p, x, 1)[0])
+
+    def measure():
+        t0 = time.perf_counter()
+        float(chained(t, p, x, 1)[0])
+        one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        acc, out = chained(t, p, x, reps + 1)
+        float(acc)
+        many = time.perf_counter() - t0
+        per_call = max((many - one) / reps, 1e-9)
+        return {"points_per_s": round(per_call_points / per_call, 1),
+                "evals_per_s": round(per_call_evals / per_call, 1),
+                "wall_s_per_call": round(per_call, 5)}, out
+
+    return warm, measure
 
 
-def batched_rate(pack, grid, num_layers=4):
+def chained_rate(inner, args, per_call_points, per_call_evals, reps=5):
+    warm, measure = make_chained(inner, args, per_call_points,
+                                 per_call_evals, reps)
+    warm()
+    return measure()
+
+
+def prep_batched(pack, grid, num_layers=4):
+    """Builds + compiles + warms the batched stage; the returned run()
+    contains only the timed measurement (+ CPU-side oracle parity)."""
     from pylbl_tpu.parallel.lines import derive_envelope, make_batched_tpu_fn
 
     v0, vn, n_per_v, n = internal_grid(grid)
@@ -241,23 +269,33 @@ def batched_rate(pack, grid, num_layers=4):
     # path uses (shrinks the layer-independent core-instance windows).
     t_max, p_max_atm = derive_envelope(t, p)
     fn = make_batched_tpu_fn(pack, grid, t_max=t_max, p_max_atm=p_max_atm)
-    result, out = chained_rate(fn.inner, (t, p, x), num_layers * n,
-                               num_layers * window_evals(keep, n_per_v))
-    # Parity of the batched f32 device-physics path vs the compiled
-    # reference C oracle across warm and cold layers, on the SAME full
-    # pack and from the SAME compiled program as the timing (no second
-    # pipeline build / remote compile).
-    import oracle
-    if oracle.available():
-        got = np.asarray(out, np.float64)
-        errs = []
-        for i in range(num_layers):
-            want = oracle.absorption(pack, float(t[i]), float(p[i]),
-                                     float(x[i]), v0, vn, n_per_v,
-                                     cut_off=CUT_OFF)
-            errs.append(np.abs(got[i] - want).max() / want.max())
-        result["max_rel_err_vs_oracle"] = float(np.max(errs))
-    return result
+    warm, measure = make_chained(fn.inner, (t, p, x), num_layers * n,
+                                 num_layers * window_evals(keep, n_per_v))
+    warm()
+
+    def run():
+        result, out = measure()
+        # Parity of the batched f32 device-physics path vs the compiled
+        # reference C oracle across warm and cold layers, on the SAME full
+        # pack and from the SAME compiled program as the timing (no second
+        # pipeline build / remote compile).
+        import oracle
+        if oracle.available():
+            got = np.asarray(out, np.float64)
+            errs = []
+            for i in range(num_layers):
+                want = oracle.absorption(pack, float(t[i]), float(p[i]),
+                                         float(x[i]), v0, vn, n_per_v,
+                                         cut_off=CUT_OFF)
+                errs.append(np.abs(got[i] - want).max() / want.max())
+            result["max_rel_err_vs_oracle"] = float(np.max(errs))
+        return result
+
+    return run
+
+
+def batched_rate(pack, grid, num_layers=4):
+    return prep_batched(pack, grid, num_layers)()
 
 
 def multigas_packs():
@@ -271,7 +309,7 @@ def multigas_packs():
     return packs
 
 
-def multigas_rate(grid, num_layers=4):
+def prep_multigas(grid, num_layers=4):
     """Config-2 seven-gas quickstart shape in ONE stacked launch."""
     from pylbl_tpu.parallel.lines import (derive_envelope,
                                           make_multigas_batched_fn,
@@ -285,22 +323,36 @@ def multigas_rate(grid, num_layers=4):
     fn = make_multigas_batched_fn(packs, grid, t_max=t_max,
                                   p_max_atm=p_max_atm)
     x = np.full((num_layers, len(packs)), 1e-4, np.float32)
-    result, _ = chained_rate(
+    warm, measure = make_chained(
         fn.inner, (t, p, x),
         num_layers * len(packs) * static["num_points"],
         num_layers * window_evals(static["num_lines"],
                                   static["n_per_v"]))
-    result["gases"] = len(packs)
-    result["total_lines"] = static["num_lines"]
-    return result
+    warm()
+
+    def run():
+        result, _ = measure()
+        result["gases"] = len(packs)
+        result["total_lines"] = static["num_lines"]
+        return result
+
+    return run
 
 
-def config5_streamed(num_layers=16, block=4):
+def multigas_rate(grid, num_layers=4):
+    return prep_multigas(grid, num_layers)()
+
+
+def prep_config5(num_layers=16, block=4):
     """Config-5 at scale: 500k-point grid x 16 layers x 7 gases, the
     stacked total-format launch (device-reduced [B, n]) streamed blockwise
     to a resumable file.  SURVEY 5 long-context / BASELINE config 5; the
     reference evaluates this shape gas-by-gas, layer-by-layer in the C
-    loop (absorption.c:76-87) with no batching or device residency."""
+    loop (absorption.c:76-87) with no batching or device residency.
+
+    The one-time build + remote compile measured up to ~435 s through the
+    tunnel; prep pays all of it, run() is the ~3 s streamed computation.
+    """
     from pylbl_tpu.parallel.lines import (derive_envelope,
                                           make_multigas_batched_fn,
                                           stack_device_packs)
@@ -315,39 +367,49 @@ def config5_streamed(num_layers=16, block=4):
     t_max, p_max_atm = derive_envelope(t, p)
     fn = make_multigas_batched_fn(packs, grid, t_max=t_max,
                                   p_max_atm=p_max_atm)
-    path = Path(tempfile.mkdtemp(prefix="pylbl_bench_")) / "config5.h5"
     nblocks = num_layers // block
-    # Compile (first block shape) outside the timed region.
-    _ = fn.total(t[:block], p[:block], x[:block])
-    float(np.asarray(_[0, 0]))
-    t0 = time.perf_counter()
-    with StreamingWriter(path, num_layers, grid,
-                         ["absorption_total"]) as writer:
-        for b in range(nblocks):
-            sl = slice(b * block, (b + 1) * block)
-            beta = np.asarray(fn.total(t[sl], p[sl], x[sl]), np.float64)
-            for i in range(block):
-                # Internal grid -> user grid truncation (the reference's
-                # k[:grid.size] contract, spectroscopy.py:191).
-                writer.write_state(
-                    b * block + i,
-                    {"absorption_total": beta[i, :grid.size]})
-    wall = time.perf_counter() - t0
-    nbytes = path.stat().st_size
-    evals = num_layers * window_evals(static["num_lines"],
-                                      static["n_per_v"])
-    result = {
-        "grid_points": int(grid.size),
-        "layers": num_layers,
-        "gases": len(packs),
-        "total_lines": static["num_lines"],
-        "wall_s": round(wall, 2),
-        "points_per_s": round(num_layers * grid.size / wall, 1),
-        "evals_per_s": round(evals / wall, 1),
-        "bytes_written": int(nbytes),
-    }
-    path.unlink()
-    return result
+    # Compile (first block shape) + warm, outside the timed region.
+    out = fn.total(t[:block], p[:block], x[:block])
+    float(np.asarray(out[0, 0]))
+
+    def run():
+        path = Path(tempfile.mkdtemp(prefix="pylbl_bench_")) / "config5.h5"
+        t0 = time.perf_counter()
+        with StreamingWriter(path, num_layers, grid,
+                             ["absorption_total"]) as writer:
+            for b in range(nblocks):
+                sl = slice(b * block, (b + 1) * block)
+                beta = np.asarray(fn.total(t[sl], p[sl], x[sl]),
+                                  np.float64)
+                for i in range(block):
+                    # Internal grid -> user grid truncation (the
+                    # reference's k[:grid.size] contract,
+                    # spectroscopy.py:191).
+                    writer.write_state(
+                        b * block + i,
+                        {"absorption_total": beta[i, :grid.size]})
+        wall = time.perf_counter() - t0
+        nbytes = path.stat().st_size
+        evals = num_layers * window_evals(static["num_lines"],
+                                          static["n_per_v"])
+        result = {
+            "grid_points": int(grid.size),
+            "layers": num_layers,
+            "gases": len(packs),
+            "total_lines": static["num_lines"],
+            "wall_s": round(wall, 2),
+            "points_per_s": round(num_layers * grid.size / wall, 1),
+            "evals_per_s": round(evals / wall, 1),
+            "bytes_written": int(nbytes),
+        }
+        path.unlink()
+        return result
+
+    return run
+
+
+def config5_streamed(num_layers=16, block=4):
+    return prep_config5(num_layers, block)()
 
 
 def start_scaling_cpu_mesh():
@@ -375,8 +437,43 @@ def collect_scaling(proc):
     return json.loads(out.strip().splitlines()[-1])
 
 
+def start_extras(flag_dir):
+    """Launches tools/bench_extras.py: builds + warms the TPU extra
+    stages concurrently with the headline's compile, then waits for the
+    headline_done flag before its timed runs (device-exclusive timing on
+    both sides; remote compiles overlap)."""
+    return subprocess.Popen(
+        [sys.executable, str(REPO / "tools" / "bench_extras.py"),
+         str(flag_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=str(REPO))
+
+
+def collect_extras(proc):
+    if proc is None:
+        return None
+    budget = max(300.0, _T0 + 1900.0 - time.perf_counter())
+    try:
+        out, _ = proc.communicate(timeout=budget)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        return None
+    if proc.returncode != 0:
+        return None
+    try:
+        return json.loads(out.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def main():
     timings = {}
+    flag_dir = Path(tempfile.mkdtemp(prefix="pylbl_bench_flags_"))
+    try:
+        extras_proc = start_extras(flag_dir)
+    except Exception:
+        extras_proc = None
     pack, grid = build_workload()
     # Reference C single-core rate FIRST, on an uncontended host (the
     # CPU-mesh scaling subprocess below would otherwise compete for the
@@ -389,15 +486,29 @@ def main():
         scaling_proc = None
     # The axon tunnel's remote-compile RPC occasionally drops mid-read
     # ("response body closed before all bytes were read"); one retry after
-    # a short pause reliably recovers.
+    # a short pause reliably recovers.  Warm (compile-dominated) first;
+    # the timed measurement waits for the extras subprocess to finish its
+    # own warmups so the two never execute on the device concurrently.
     for attempt in range(3):
         try:
-            rate, points_rate, spectrum = tpu_rate(pack, grid)
+            measure = tpu_warm(pack, grid)
             break
         except Exception:
             if attempt == 2:
                 raise
             time.sleep(20.0)
+    timings["headline_warm_s"] = round(time.perf_counter() - _T0, 1)
+    if extras_proc is not None:
+        wait_until = time.perf_counter() + min(
+            600.0, max(0.0, _T0 + 1500.0 - time.perf_counter()))
+        while (extras_proc.poll() is None
+               and not (flag_dir / "warm_done").exists()
+               and time.perf_counter() < wait_until):
+            time.sleep(2.0)
+        timings["warm_wait_s"] = round(
+            time.perf_counter() - _T0 - timings["headline_warm_s"], 1)
+    rate, points_rate, spectrum = measure()
+    (flag_dir / "headline_done").touch()
     timings["headline_s"] = round(time.perf_counter() - _T0, 1)
     vs_baseline = rate / PINNED_C_EVALS_PER_S
 
@@ -405,33 +516,36 @@ def main():
              "pinned_c_evals_per_s": PINNED_C_EVALS_PER_S,
              "reference_c_evals_per_s_live": round(ref, 1) if ref else None,
              "parity": parity(spectrum, expected, pack.nu.size)}
-    # Order = information value under a tight budget: the batched rate
-    # shares its compile with the per-layer parity check, config-5 is the
-    # at-scale demonstration, the stacked rate comes last.  config-5's
-    # one-time remote build+compile has measured up to ~435 s, so its
-    # alarm RESERVES room for the stacked stage, and the stacked stage's
-    # start window is widened by the same amount — a slow config-5 run
-    # can be clipped, but it can never starve the production-rate
-    # evidence behind it.
-    stages = (("batched_4layer", lambda: batched_rate(pack, grid),
-               0.0, 0.0),
-              ("config5", config5_streamed, 160.0, 0.0),
-              ("multigas_7gas", lambda: multigas_rate(grid), 0.0, 160.0))
-    for key, fn, reserve, grace in stages:
-        if time.perf_counter() - _T0 > DEADLINE_S + grace:
-            extra[key] = "skipped (deadline)"
-            continue
-        t0 = time.perf_counter()
-        budget = (DEADLINE_S + grace + 60.0 - reserve
-                  - (time.perf_counter() - _T0))
-        try:
-            with stage_alarm(budget):
-                extra[key] = fn()
-        except StageTimeout:
-            extra[key] = "skipped (stage timeout)"
-        except Exception as exc:  # never lose the headline
-            extra[key] = f"error: {type(exc).__name__}: {exc}"
-        timings[key + "_s"] = round(time.perf_counter() - t0, 1)
+    stage_keys = ("batched_4layer", "config5", "multigas_7gas")
+    extras_results = collect_extras(extras_proc)
+    if extras_results is not None:
+        for key in stage_keys:
+            extra[key] = extras_results.get(key, "missing")
+        timings.update(extras_results.get("_timings", {}))
+    else:
+        # Subprocess unavailable: sequential in-process fallback under
+        # the original deadline logic.
+        extra["extras_subprocess"] = "failed; sequential fallback"
+        stages = (("batched_4layer", lambda: batched_rate(pack, grid),
+                   0.0, 0.0),
+                  ("config5", config5_streamed, 160.0, 0.0),
+                  ("multigas_7gas", lambda: multigas_rate(grid),
+                   0.0, 160.0))
+        for key, fn, reserve, grace in stages:
+            if time.perf_counter() - _T0 > DEADLINE_S + grace:
+                extra[key] = "skipped (deadline)"
+                continue
+            t0 = time.perf_counter()
+            budget = (DEADLINE_S + grace + 60.0 - reserve
+                      - (time.perf_counter() - _T0))
+            try:
+                with stage_alarm(budget):
+                    extra[key] = fn()
+            except StageTimeout:
+                extra[key] = "skipped (stage timeout)"
+            except Exception as exc:  # never lose the headline
+                extra[key] = f"error: {type(exc).__name__}: {exc}"
+            timings[key + "_s"] = round(time.perf_counter() - t0, 1)
     if scaling_proc is not None:
         extra["scaling_cpu_mesh"] = collect_scaling(scaling_proc)
     extra["stage_wall_s"] = timings
