@@ -1486,6 +1486,75 @@ def strided_line_ranges(assign, num_tiles, chunk=STRIDED_CHUNK):
     return lo_aligned.astype(np.int32), nchunks.astype(np.int32)
 
 
+def padded_strided_layout(assign, num_tiles, chunk=STRIDED_CHUNK):
+    """Chunk-aligned per-tile line layout for the strided wings CSR.
+
+    strided_line_ranges gives each tile a contiguous chunk range over the
+    nu-sorted line order; chunks straddling an assignment boundary are
+    fetched by BOTH neighboring tiles and their foreign lines scanned and
+    masked (measured ~10% of all chunk visits on the 300k-line headline
+    pack, ~12% on the 7-gas stacked pack, where sparse tiles hold ~300
+    lines each).  This layout instead regroups lines so tile t's lines
+    occupy ceil(n_t / chunk) PRIVATE chunks, padded with dead slots: no
+    chunk is fetched twice and no foreign line is ever scanned, at the
+    cost of the intra-chunk padding (the dead slots still ride the DMA
+    and the scalar loop, but they are exactly the slack the straddle
+    scheme wasted on neighbors' lines).
+
+    Args:
+        assign: [N] per-line tile assignment (s // stride).
+        num_tiles: strided tile count.
+        chunk: SMEM chunk width in lines.
+
+    Returns:
+        (perm [M] int64, w_start [T] int32, w_n [T] int32): ``perm`` maps
+        padded slots to source lines, -1 for dead slots; M is a multiple
+        of ``chunk``; ``w_start`` is in line units (chunk-aligned).
+    """
+    assign = np.asarray(assign, np.int64)
+    if assign.size == 0:
+        z = np.zeros(num_tiles, np.int32)
+        return np.full(chunk, -1, np.int64), z, z
+    order = np.argsort(assign, kind="stable")
+    cnt = np.bincount(assign, minlength=num_tiles)
+    nchunks = -(-cnt // chunk)
+    first_chunk = np.concatenate(([0], np.cumsum(nchunks)[:-1]))
+    w_start = (first_chunk * chunk).astype(np.int64)
+    total = max(int(nchunks.sum()), 1) * chunk
+    perm = np.full(total, -1, np.int64)
+    cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    a = assign[order]
+    rank = np.arange(order.size, dtype=np.int64) - cum[a]
+    perm[w_start[a] + rank] = order
+    return perm, w_start.astype(np.int32), nchunks.astype(np.int32)
+
+
+def permute_line_arrays(arrays, perm, zero_keys=("sw", "sw_pre")):
+    """Applies a padded_strided_layout perm to per-line constant arrays.
+
+    Dead slots copy line 0's constants (finite physics) with the strength
+    fields zeroed, so their per-layer prefactor is exactly 0 — they are
+    additionally dropped by the in-kernel ownership check (assignment -1)
+    and generate no core instances (empty core windows).  ``q_table`` and
+    other non-per-line fields pass through.
+    """
+    idx = np.maximum(perm, 0)
+    dead = perm < 0
+    n = perm.size  # every per-line field shares the source length
+    src_len = arrays["nu"].shape[0] if "nu" in arrays else None
+    out = {}
+    for k, v in arrays.items():
+        if k == "q_table" or (src_len is not None
+                              and (v.ndim != 1 or v.shape[0] != src_len)):
+            out[k] = v
+            continue
+        g = v[idx]
+        if k in zero_keys:
+            g = np.where(dead, np.zeros((), v.dtype), g)
+        out[k] = g
+    return out
+
+
 def _tile_kernel_strided(chunk, tile, stride, start_ref, nchunks_ref,
                          lines_ref, out_ref, buf, sems):
     """Wings accumulation for one overlapped tile [t*stride, t*stride+tile)."""

@@ -421,8 +421,6 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         fn_xla.total = total_xla
         return fn_xla
 
-    w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points, tile,
-                                       chunk)
     # Rows-core instance windows, sized exactly like make_batched_tpu_fn
     # but placed in the flat grid (clamped to the gas segment).
     alpha_ref = (host["nu"] / c.VLIGHT) * np.sqrt(
@@ -436,10 +434,34 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         (host["nu"] / c.VLIGHT) * np.sqrt(
             c.R2 * 275.0 / np.maximum(host["mass"], 1.0)), 1e-300)
         ) * host["gamma_air"] * (296.0 / 275.0) ** host["n_air"]
-    core_plan = lp.CorePlan(
-        off + np.clip(center0 - core_w - shift_w, 0, num_points - 1),
-        off + np.clip(center0 + core_w + shift_w, 0, num_points - 1),
-        flat_points, tile, sort_key=y_ref)
+    core_lo = off + np.clip(center0 - core_w - shift_w, 0, num_points - 1)
+    core_hi = off + np.clip(center0 + core_w + shift_w, 0, num_points - 1)
+    # Strided overlapped-tile wings over the flat grid (see
+    # make_batched_tpu_fn); assignment from the widened flat windows, line
+    # constants in the chunk-aligned per-tile order (padded_strided_layout
+    # — a bigger win here than single-gas: the small gases' tiles hold
+    # ~300 lines each, so the straddle CSR wasted ~12% of chunk visits).
+    wings_stride = lp.pick_wings_stride(
+        tile, int((e_wide - s_wide).max(initial=0)) + 1)
+    if wings_stride is not None:
+        assign = np.clip(s_wide, 0, None) // wings_stride
+        perm, w_start, w_n = lp.padded_strided_layout(
+            assign, (flat_points - 1) // wings_stride + 1)
+        idx = np.maximum(perm, 0)
+        dead = perm < 0
+        arrays_np = lp.permute_line_arrays(arrays_np, perm)
+        assign = np.where(dead, -1, assign[idx])
+        assign_dev = jnp.asarray(assign.astype(np.float32))
+        core_lo = np.where(dead, 1, core_lo[idx])
+        core_hi = np.where(dead, 0, core_hi[idx])
+        y_ref = y_ref[idx]
+        nlines = perm.size
+    else:
+        w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points,
+                                           tile, chunk)
+        nlines = keep
+    core_plan = lp.CorePlan(core_lo, core_hi, flat_points, tile,
+                            sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
     if core_plan.mode == "seg":
@@ -448,16 +470,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
     else:
         core_plan._device_indices()   # in-jit gathers close over these
-    pad = -keep % chunk
-    # Strided overlapped-tile wings over the flat grid (see
-    # make_batched_tpu_fn); assignment from the widened flat windows.
-    wings_stride = lp.pick_wings_stride(
-        tile, int((e_wide - s_wide).max(initial=0)) + 1)
-    if wings_stride is not None:
-        assign = np.clip(s_wide, 0, None) // wings_stride
-        assign_dev = jnp.asarray(assign.astype(np.float32))
-        w_start, w_n = lp.strided_line_ranges(
-            assign, (flat_points - 1) // wings_stride + 1)
+    pad = -nlines % chunk
 
     # Big device-resident inputs threaded through jit as ARGUMENTS, never
     # closures (see make_batched_tpu_fn: 413-sized compile payloads).
@@ -605,8 +618,6 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     b0 = np.floor(pack.nu[:keep]).astype(np.int64)
     s_wide = (b0 - 1 - cut_off - v0) * n_per_v
     e_wide = (b0 + 1 + cut_off + 1 - v0) * n_per_v
-    w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points, tile,
-                                       chunk)
     # Rows-core instance grouping, layer-independent: per-line instance
     # windows use worst-case (t_max) Doppler widths plus each line's own
     # worst-case pressure-shift displacement at p_max_atm; the in-kernel
@@ -628,10 +639,39 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         (pack.nu[:keep] / c.VLIGHT) * np.sqrt(
             c.R2 * 275.0 / np.maximum(pack.mass[:keep], 1.0)), 1e-300)
         ) * pack.gamma_air[:keep] * (296.0 / 275.0) ** pack.n_air[:keep]
-    core_plan = lp.CorePlan(
-        np.maximum(center0 - core_w - shift_w, s_wide),
-        np.minimum(center0 + core_w + shift_w, e_wide),
-        num_points, tile, sort_key=y_ref)
+    core_lo = np.maximum(center0 - core_w - shift_w, s_wide)
+    core_hi = np.minimum(center0 + core_w + shift_w, e_wide)
+    # Strided overlapped-tile wings when the widened windows fit: each
+    # line is evaluated on exactly one tile instead of every tile its
+    # window touches (~3x masked-work waste at 0.1 cm-1 resolution).  The
+    # assignment comes from the layer-independent wide windows; the SoA's
+    # _PAD row carries it for the in-kernel ownership check.  The line
+    # constants are laid out in the chunk-aligned per-tile order
+    # (padded_strided_layout): each tile reads only its OWN chunks —
+    # ~10% fewer chunk visits than the straddle-sharing CSR on the
+    # headline pack, ~12% on the 7-gas stacked pack.
+    wings_stride = lp.pick_wings_stride(
+        tile, int((e_wide - s_wide).max(initial=0)) + 1)
+    if wings_stride is not None:
+        assign = np.clip(s_wide, 0, None) // wings_stride
+        perm, w_start, w_n = lp.padded_strided_layout(
+            assign, (num_points - 1) // wings_stride + 1)
+        idx = np.maximum(perm, 0)
+        dead = perm < 0
+        arrays_np = lp.permute_line_arrays(arrays_np, perm)
+        assign = np.where(dead, -1, assign[idx])
+        assign_dev = jnp.asarray(assign.astype(np.float32))
+        # Dead slots: empty core windows (build_core_segments drops them).
+        core_lo = np.where(dead, 1, core_lo[idx])
+        core_hi = np.where(dead, 0, core_hi[idx])
+        y_ref = y_ref[idx]
+        nlines = perm.size
+    else:
+        w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points,
+                                           tile, chunk)
+        nlines = keep
+    core_plan = lp.CorePlan(core_lo, core_hi, num_points, tile,
+                            sort_key=y_ref)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
     if core_plan.mode == "seg":
@@ -642,19 +682,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
     else:
         core_plan._device_indices()   # in-jit gathers close over these
-    pad = -keep % chunk
-    # Strided overlapped-tile wings when the widened windows fit: each
-    # line is evaluated on exactly one tile instead of every tile its
-    # window touches (~3x masked-work waste at 0.1 cm-1 resolution).  The
-    # assignment comes from the layer-independent wide windows; the SoA's
-    # _PAD row carries it for the in-kernel ownership check.
-    wings_stride = lp.pick_wings_stride(
-        tile, int((e_wide - s_wide).max(initial=0)) + 1)
-    if wings_stride is not None:
-        assign = np.clip(s_wide, 0, None) // wings_stride
-        assign_dev = jnp.asarray(assign.astype(np.float32))
-        w_start, w_n = lp.strided_line_ranges(
-            assign, (num_points - 1) // wings_stride + 1)
+    pad = -nlines % chunk
 
     # Big device-resident inputs are threaded through jit as ARGUMENTS,
     # never closures: closed-over arrays become jaxpr constants and ride
