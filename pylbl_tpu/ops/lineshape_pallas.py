@@ -1907,16 +1907,43 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
     pass when the windows fit (pick_wings_stride); "seg" forces the
     segment-32 variant, "tile" the plain splat.
     """
-    soa, num = pack_lines_soa(kernel_arrays, chunk)
     s_idx = kernel_arrays["s_idx"].astype(np.int64)
     e_idx = kernel_arrays["e_idx"].astype(np.int64)
     cs, ce = core_instance_windows(kernel_arrays, kin, num_points, n_per_v,
                                    cut_off)
+    num0 = int(kernel_arrays["prefactor"].shape[-1])
+    mode = CORE_MODE if core_mode is None else core_mode
+    wings_stride = None
+    assign = None
+    if mode == "seg" and wings_mode == "seg":
+        pass                           # segment-32 wings handled below
+    elif wings_mode != "tile" and num0:
+        wings_stride = pick_wings_stride(
+            tile, int((e_idx - s_idx).max(initial=0)) + 1)
+    if wings_stride is not None:
+        # Chunk-aligned per-tile line layout (padded_strided_layout): each
+        # tile reads only its own chunks — ~10% fewer chunk visits than
+        # the straddle-sharing CSR on the headline pack.
+        assign = np.clip(s_idx, 0, None) // wings_stride
+        num_tiles = (num_points - 1) // wings_stride + 1
+        perm, w_start, w_n = padded_strided_layout(assign, num_tiles)
+        idx = np.maximum(perm, 0)
+        dead = perm < 0
+        kernel_arrays = {k: v[idx] for k, v in kernel_arrays.items()}
+        # Dead slots mirror pack_lines_soa's pad fills: zero prefactor,
+        # empty wings windows, empty core windows, assignment -1.
+        for key, fill in (("prefactor", 0.0), ("s_idx", -1),
+                          ("e_idx", -2)):
+            v = kernel_arrays[key]
+            kernel_arrays[key] = np.where(dead, fill, v).astype(v.dtype)
+        assign = np.where(dead, -1, assign[idx])
+        cs = np.where(dead, 1, cs[idx])
+        ce = np.where(dead, 0, ce[idx])
     plan = CorePlan(cs, ce, int(num_points), tile,
                     sort_key=kernel_arrays["y"], mode=core_mode)
     params = plan.gather(kernel_arrays)
     wings_plan = None
-    wings_stride = None
+    soa, num = pack_lines_soa(kernel_arrays, chunk)
     if plan.mode == "seg" and wings_mode == "seg":
         # Segment-32 wings (A/B only — measured slower than the splat).
         # Single fixed layer: the exact per-line windows ARE the instance
@@ -1930,16 +1957,10 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
         soa = wp.wings_params(ka_inst, xp=np)
         wings_plan = wp
         w_start = w_n = np.zeros(1, np.int32)  # unused in this mode
-    elif wings_mode != "tile" and num:
-        wings_stride = pick_wings_stride(
-            tile, int((e_idx - s_idx).max(initial=0)) + 1)
-    if wings_stride is not None:
-        assign = np.clip(s_idx, 0, None) // wings_stride
+    elif wings_stride is not None:
         soa[_PAD, :num] = assign.astype(np.float32)
         soa[_PAD, num:] = -1.0
-        num_tiles = (num_points - 1) // wings_stride + 1
-        w_start, w_n = strided_line_ranges(assign, num_tiles)
-    elif wings_plan is None:
+    else:
         w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile,
                                         chunk)
     return DevicePlan(soa, w_start, w_n, plan, params, num_points,
