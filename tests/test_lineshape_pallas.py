@@ -381,3 +381,44 @@ def test_seg_pass_width16_matches_width32():
                                              interpret=True)))
     scale = np.abs(outs[0]).max()
     np.testing.assert_allclose(outs[1], outs[0], atol=scale * 1e-6)
+
+
+def test_padded_strided_layout_invariants():
+    """perm/CSR invariants: every line appears exactly once, each tile's
+    lines land in its own chunk-aligned private range, dead slots are -1,
+    and no chunk is referenced by two tiles."""
+    from pylbl_tpu.ops.lineshape_pallas import padded_strided_layout
+
+    rng = np.random.default_rng(5)
+    num_tiles = 9
+    chunk = 8
+    # Near-sorted assignment with empty and dense tiles, like real packs.
+    assign = np.sort(rng.integers(0, num_tiles, size=133))
+    assign[40:60] = 3                        # dense tile
+    assign = np.sort(assign)
+    perm, w_start, w_n = padded_strided_layout(assign, num_tiles,
+                                               chunk=chunk)
+    assert perm.size % chunk == 0
+    live = perm[perm >= 0]
+    assert np.array_equal(np.sort(live), np.arange(assign.size))
+    cnt = np.bincount(assign, minlength=num_tiles)
+    assert np.array_equal(w_n, -(-cnt // chunk))
+    assert np.all(w_start % chunk == 0)
+    ends = w_start + w_n * chunk
+    for t in range(num_tiles):
+        sl = perm[w_start[t]:ends[t]]
+        owners = sl[sl >= 0]
+        # Every live slot in tile t's range belongs to tile t, and all of
+        # tile t's lines are inside its range.
+        assert np.all(assign[owners] == t)
+        assert owners.size == cnt[t]
+    # Ranges are disjoint and ordered (no chunk fetched by two tiles).
+    assert np.all(ends[:-1] <= w_start[1:] + (w_n[1:] == 0) * perm.size)
+
+
+def test_padded_strided_layout_empty():
+    from pylbl_tpu.ops.lineshape_pallas import padded_strided_layout
+
+    perm, w_start, w_n = padded_strided_layout(
+        np.zeros(0, np.int64), 4, chunk=16)
+    assert np.all(perm == -1) and np.all(w_n == 0)
