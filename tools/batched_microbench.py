@@ -8,6 +8,12 @@ the chained fori_loop method (see tools/kernel_microbench.py for why
 single-dispatch timing lies on axon).
 
 Usage: python tools/batched_microbench.py [num_lines] [num_layers] [reps]
+       python tools/batched_microbench.py multigas [num_layers] [reps]
+
+The ``multigas`` form times the 7-gas stacked launch (bench.multigas_packs)
+through make_multigas_batched_fn's handles instead: assembly, the strided
+wings pass over the flat [G * n] grid, the seg core pass, and the full
+stacked pipeline.
 """
 import sys
 import time
@@ -40,14 +46,20 @@ def chained_time(fn, reps):
 
 
 def main():
-    num_lines = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
+    multigas = len(sys.argv) > 1 and sys.argv[1] == "multigas"
+    num_lines = (300000 if multigas or len(sys.argv) <= 1
+                 else int(sys.argv[1]))
     num_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    grid = np.arange(1.0, 5000.0, 0.1)
+    if multigas:
+        run_multigas_stages(grid, num_layers, reps)
+        return
 
     pack = synthetic_line_pack(
         num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
         band_centers=(150.0, 1600.0, 3700.0, 500.0))
-    grid = np.arange(1.0, 5000.0, 0.1)
     v0, vn, n_per_v, n = internal_grid(grid)
 
     # Canonical-column-like spread of layers, surface to cold stratosphere.
@@ -146,6 +158,79 @@ def main():
     print(f"lines={keep} layers={num_layers} grid={n} "
           f"core_mode={core_plan.mode} "
           f"wings_stride={wings_stride}")
+    for name, stage in stages:
+        dt = chained_time(stage, reps)
+        print(f"{name:28s} {dt * 1e3:9.2f} ms total "
+              f"{dt * 1e3 / num_layers:8.2f} ms/layer")
+
+
+def run_multigas_stages(grid, num_layers, reps):
+    """Stage split of the 7-gas stacked launch via its production handles."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    import bench
+
+    packs = bench.multigas_packs()
+    _, _, static, _ = pl_lines.stack_device_packs(packs, grid)
+    flat_points = static["flat_points"]
+    fn = pl_lines.make_multigas_batched_fn(packs, grid)
+    core_plan = fn.core_plan
+    wings_stride = fn.wings_stride
+    ws_d, wn_d = map(jnp.asarray, fn.wings_csr)
+
+    t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
+    p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
+    x = np.full((num_layers, len(packs)), 1e-4, np.float32)
+    t_d, p_d, x_d = map(jnp.asarray, (t, p, x))
+
+    @jax.jit
+    def assembly_stage_(reps):
+        def body(i, carry):
+            acc, tt = carry
+            wings_in, core = jax.vmap(fn.assemble_layer)(tt, p_d, x_d)
+            return (acc + (jnp.sum(wings_in) + jnp.sum(core))
+                    * jnp.float32(1e-30), tt + acc * 0.0)
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), t_d))
+        return acc
+
+    wings0, core0 = jax.jit(jax.vmap(fn.assemble_layer))(t_d, p_d, x_d)
+    wings0 = jax.device_put(wings0)
+    core0 = jax.device_put(core0)
+
+    def chained(pass_fn, block0):
+        @jax.jit
+        def stage_(block0, reps):
+            def body(i, carry):
+                acc, g = carry
+                g = jnp.where(acc >= -1.0, g, 0.0)
+                out = pass_fn(g)
+                return (acc + out[0, 0], g)
+            acc, _ = jax.lax.fori_loop(0, reps, body,
+                                       (jnp.float32(0), block0))
+            return acc
+        return lambda r: stage_(block0, r)
+
+    def wings_pass(soa):
+        return lp._pallas_pass_strided(soa, ws_d, wn_d, flat_points,
+                                       lp.DEFAULT_TILE, wings_stride)
+
+    @jax.jit
+    def full_(reps):
+        def body(i, carry):
+            acc, tt = carry
+            out = fn.inner(tt, p_d, x_d)
+            return (acc + out[0, 0, 0], tt + acc * 0.0)
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), t_d))
+        return acc
+
+    stages = [("assemble(phys+blocks)", assembly_stage_),
+              (f"wings[{wings_stride or 'tile'}]",
+               chained(wings_pass, wings0)),
+              (f"core-seg[{core_plan.num_instances}]",
+               chained(lambda g: core_plan.seg_pass(g), core0)),
+              ("full-stacked", full_)]
+    print(f"multigas: lines={static['num_lines']} gases="
+          f"{static['num_gases']} layers={num_layers} "
+          f"flat={flat_points} wings_stride={wings_stride}")
     for name, stage in stages:
         dt = chained_time(stage, reps)
         print(f"{name:28s} {dt * 1e3:9.2f} ms total "
