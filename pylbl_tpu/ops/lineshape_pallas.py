@@ -632,9 +632,9 @@ def _pallas_rows_pass(groups, start, nchunks, num_points, tile,
 #   stay class-homogeneous.
 
 SEG = 32                  # aligned segment width in points.
-SEGP_ROWS = 8             # param rows per instance (7 fields + pad).
+SEGP_ROWS = 8             # param rows per instance (7 fields + flag/pad).
 (SR_SEG0REL, SR_CFRAC, SR_SRW, SR_Y, SR_PREF, SR_SREL,
- SR_EREL) = range(7)
+ SR_EREL, SR_FLAG) = range(8)
 
 
 def build_core_segments(core_start, core_end, num_points,
@@ -757,13 +757,22 @@ def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
 
 
 def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
-                          seg=SEG):
+                          seg=SEG, use_flags=False):
     """Accumulates one 128-instance chunk into the transposed tile block.
 
     blk: (8, chunk) lane-major params; acc: (8, lanes) transposed
     accumulator; m_base: the chunk's segment column (seg//8 * slot);
     point_base: f32 absolute grid point of the segment start (used by the
     wings variant; this core variant works in seg0-relative coordinates).
+
+    ``use_flags`` (compile-time): instances with SR_FLAG set compute the
+    FULL Voigt — the region-0 Lorentzian is added on top of the
+    correction — so their line can skip the wings pass entirely (lines
+    whose core window spans their whole wings window).  Flagged lanes
+    with y past the pure-Lorentz threshold must still contribute their
+    Lorentzian, so the per-chunk early exit checks the flags and the
+    correction is zeroed per lane instead (reference voigt.c:17-27
+    treats y >= 70.55 as exactly Lorentzian).
     """
     seg0_rel = blk[SR_SEG0REL:SR_SEG0REL + 1, :]
     c_frac = blk[SR_CFRAC:SR_CFRAC + 1, :]
@@ -774,6 +783,12 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
     e_rel = blk[SR_EREL:SR_EREL + 1, :]
     ymin = jnp.min(y)
     p_sub = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), dimension=0)
+    if use_flags:
+        flag = blk[SR_FLAG:SR_FLAG + 1, :]
+        skip = (ymin >= 70.55) & (jnp.max(flag) <= 0.0)
+        lorentz_amp = flag * y * jnp.float32(RSQRPI)
+    else:
+        skip = ymin >= 70.55
 
     def with_correction(corr_fn):
         def go():
@@ -782,6 +797,9 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
                 o = (p_sub + jnp.int32(8 * k)).astype(jnp.float32)
                 x = ((seg0_rel + o) - c_frac) * srw
                 val = corr_fn(x, y)
+                if use_flags:
+                    val = jnp.where(y < 70.55, val, 0.0)
+                    val = val + lorentz_amp / (x * x + y * y)
                 mask = (o >= s_rel) & (o <= e_rel)
                 val = jnp.where(mask, pref * val, 0.0)
                 s = jnp.sum(val, axis=1, keepdims=True)        # (8, 1)
@@ -790,7 +808,7 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
         return go
 
     return jax.lax.cond(
-        ymin >= 70.55, lambda: acc,
+        skip, lambda: acc,
         lambda: jax.lax.cond(
             ymin >= 8.425, with_correction(voigt_correction_k1),
             lambda: jax.lax.cond(
@@ -917,19 +935,22 @@ def _seg_kernel_batched(seg_fn, chunk, tile, seg, start_ref,
 
 def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
                      num_points, tile, chunk=ROWS_CHUNK, interpret=False,
-                     kind="core", seg=SEG):
+                     kind="core", seg=SEG, use_flags=False):
     """Segment-32 pass; [num_points] (or [B, num_points]) natural layout
     (the kernel accumulates transposed; one XLA transpose after).
 
     ``kind``: "core" evaluates the Humlicek correction (chunk-min-y
     branched); "wings" the region-0 Lorentzian over the full windows.
+    ``use_flags``: compile-time switch for the SR_FLAG full-Voigt lanes
+    (see _seg_chunk_accumulate); core kind only.
     """
     num_tiles = -(-num_points // tile)
     lanes = tile // 8
     batched = params.ndim == 3
     seg_fn = functools.partial(
         _seg_chunk_accumulate if kind == "core"
-        else _seg_chunk_accumulate_lorentz, seg=seg)
+        else _seg_chunk_accumulate_lorentz, seg=seg,
+        **({"use_flags": True} if use_flags and kind == "core" else {}))
     if batched:
         num_layers = params.shape[0]
         kernel = functools.partial(_seg_kernel_batched, seg_fn, chunk,
