@@ -14,17 +14,25 @@ call), and the per-spectrum time is the difference between R=1 and R=R+1
 around a single 4-byte readback sync.  Anything simpler measures the axon
 tunnel (~30 ms RPC round-trip per sync), not the device.
 
+EVERY differenced timing is plausibility-guarded (round-3 lesson: device
+contention once drove the R-vs-R+1 difference negative and a defensive
+clamp turned it into a 1.5e17 evals/s headline).  A measurement whose
+difference is non-positive or whose implied rate falls outside
+[0.1x, 3000x] of the pinned C rate is re-measured; after two failures the
+stage falls back to ABSOLUTE timing (enough chained reps that the ~30 ms
+sync is <3% of the wall — a slight underestimate, never garbage) and the
+result carries "method": "absolute".  No number is ever clamped.
+
+All stages run SEQUENTIALLY IN ONE PROCESS so nothing ever shares the
+device with a timed section (round 3's overlapped-compile subprocess
+corrupted the headline and starved the extras).  Only the CPU-mesh
+scaling stage runs as a subprocess — it never touches the TPU.
+
 vs_baseline: ratio against the PINNED reference C single-core rate on the
 identical workload (BASELINE.md "Pinned C baseline"); the live-measured C
-rate for this run is carried in extra (round-2 lesson: a 20k-line
-subsample fits in cache and flatters the C code ~2x, so the pin uses the
-full 300k-line pack).
+rate for this run is carried in extra.
 
-Each stage shares its compiled program with its parity check (the chained
-timing loop returns the final spectrum), so the whole run fits the driver
-budget — round 2 starved the extras behind six separate remote compiles.
-"extra" carries (each stage deadline-guarded so the headline always
-prints):
+"extra" carries (each stage alarm-guarded so the headline always prints):
 - max abs/rel error of the Pallas float32 spectrum vs the reference C
   oracle on the FULL headline workload;
 - the production layer-batched pipeline rate (4 layers, one launch) and
@@ -65,10 +73,10 @@ TEMPERATURE = 288.99  # surface layer of the canonical test column.
 PRESSURE = 98388.0
 VMR = 6.637074e-03
 CUT_OFF = 25
-# Extras stop *starting* after this much wall time.  Sized for the
-# worst observed remote-compile variance: the headline stage alone has
-# ranged 229-713 s across runs on the tunneled TPU with identical code.
-DEADLINE_S = 840.0
+# New TPU stages stop *starting* after this much wall time, so one
+# pathological remote compile (observed 229-1199 s through the tunnel)
+# skips a stage instead of losing the whole artifact.
+DEADLINE_S = 1500.0
 _T0 = time.perf_counter()
 
 # Reference C single-core rate on the FULL headline workload (300k-line
@@ -77,10 +85,19 @@ _T0 = time.perf_counter()
 # this constant so the headline ratio is comparable across rounds; the
 # live re-measurement is reported alongside in extra.
 PINNED_C_EVALS_PER_S = 4.68e8
+# Plausibility band for any measured evals/s: [0.1x, 3000x] the pinned C
+# rate.  The top of the band (~1.4e12) is ~3x a v5e's speed-of-light for
+# this ~60-flop/eval kernel; anything above it is a timing artifact.
+RATE_LO = PINNED_C_EVALS_PER_S * 0.1
+RATE_HI = PINNED_C_EVALS_PER_S * 3000.0
+
+
+def elapsed():
+    return time.perf_counter() - _T0
 
 
 def over_deadline():
-    return time.perf_counter() - _T0 > DEADLINE_S
+    return elapsed() > DEADLINE_S
 
 
 class StageTimeout(Exception):
@@ -89,7 +106,7 @@ class StageTimeout(Exception):
 
 @contextmanager
 def stage_alarm(seconds):
-    """Hard per-stage wall limit: a slow remote compile inside one extra
+    """Hard per-stage wall limit: a slow remote compile inside one stage
     must not run the whole process into the driver's kill window and lose
     the headline JSON."""
     def handler(signum, frame):
@@ -102,6 +119,46 @@ def stage_alarm(seconds):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, previous)
+
+
+def guarded_per_call(run_sync, reps, evals_per_call, timings=None):
+    """R-vs-R+1 differenced seconds-per-call with plausibility guards.
+
+    ``run_sync(nreps)`` must execute nreps chained calls on device and
+    block until done (tiny readback).  Returns (per_call_s, method).
+    Never returns a clamped or implausible number: two failed differencing
+    attempts fall back to absolute timing with the sync amortized over
+    enough reps to be <3% of the wall.
+    """
+    last_many = None
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        run_sync(1)
+        one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_sync(reps + 1)
+        many = time.perf_counter() - t0
+        last_many = many
+        per = (many - one) / reps
+        if per > 0 and RATE_LO <= evals_per_call / per <= RATE_HI:
+            return per, "chained-diff"
+        if timings is not None:
+            timings[f"guard_retry_{attempt}"] = {
+                "one_s": round(one, 4), "many_s": round(many, 4)}
+    # Absolute fallback: size reps so the ~30 ms sync RPC is noise.
+    per_est = max(last_many / (reps + 1), 1e-3)
+    abs_reps = int(np.clip(np.ceil(2.0 / per_est), reps, 2000))
+    t0 = time.perf_counter()
+    run_sync(abs_reps)
+    wall = time.perf_counter() - t0
+    per = wall / abs_reps
+    if RATE_LO <= evals_per_call / per <= RATE_HI:
+        return per, "absolute"
+    # Even real wall-clock over many reps is out of band: something is
+    # structurally wrong (lost loop dependence, contention).  Surface the
+    # honest wall-derived number but FLAG it — per VERDICT r3, a flagged
+    # measurement beats a clamped one.
+    return per, "invalid (implausible)"
 
 
 def build_workload(num_lines=300000):
@@ -118,9 +175,7 @@ def window_evals(keep, n_per_v):
 
 def tpu_warm(pack, grid):
     """Builds + compiles + warm-runs the headline program.  Returns a
-    measure() closure whose wall contains ONLY the timed chained runs, so
-    the warm (compile-dominated, 229-998 s observed through the tunnel)
-    can overlap the extras subprocess's own warmups."""
+    measure() closure whose wall contains ONLY the timed chained runs."""
     import jax
     import jax.numpy as jnp
 
@@ -154,26 +209,16 @@ def tpu_warm(pack, grid):
 
     run(1)                                      # compile + warm
 
-    def measure(reps=10):
-        t0 = time.perf_counter()
+    def measure(reps=10, timings=None):
+        per_spectrum, method = guarded_per_call(
+            lambda r: run(r), reps, window_evals(keep, n_per_v), timings)
         _, out = run(1)
-        one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(reps + 1)
-        many = time.perf_counter() - t0
-        per_spectrum = max((many - one) / reps, 1e-9)
         spectrum = np.asarray(out, np.float64)
         assert np.isfinite(spectrum).all() and spectrum.max() > 0
-        return window_evals(keep, n_per_v) / per_spectrum, \
-            n / per_spectrum, spectrum
+        return (window_evals(keep, n_per_v) / per_spectrum,
+                n / per_spectrum, spectrum, method)
 
     return measure
-
-
-def tpu_rate(pack, grid, reps=10):
-    """Headline rate AND the float32 spectrum the timed program computed
-    (one compile serves both the rate and the oracle parity)."""
-    return tpu_warm(pack, grid)(reps)
 
 
 def reference_rate(pack, grid):
@@ -212,8 +257,8 @@ def parity(spectrum, expected, num_lines):
 def make_chained(inner, args, per_call_points, per_call_evals, reps=5):
     """(warm, measure) pair for a jitted [B]-batched pipeline, timed with
     the same loop-carried fori chaining as the headline.  warm() pays the
-    compile; measure() contains only the timed runs and also returns the
-    final output so the caller's parity check reuses this compile."""
+    compile; measure() contains only guarded timed runs and also returns
+    the final output so the caller's parity check reuses this compile."""
     import jax
     import jax.numpy as jnp
 
@@ -229,21 +274,22 @@ def make_chained(inner, args, per_call_points, per_call_evals, reps=5):
 
     t, p, x = args
 
-    def warm():
-        float(chained(t, p, x, 1)[0])
+    def run_sync(nreps):
+        float(chained(t, p, x, nreps)[0])
 
-    def measure():
-        t0 = time.perf_counter()
-        float(chained(t, p, x, 1)[0])
-        one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        acc, out = chained(t, p, x, reps + 1)
-        float(acc)
-        many = time.perf_counter() - t0
-        per_call = max((many - one) / reps, 1e-9)
-        return {"points_per_s": round(per_call_points / per_call, 1),
-                "evals_per_s": round(per_call_evals / per_call, 1),
-                "wall_s_per_call": round(per_call, 5)}, out
+    def warm():
+        run_sync(1)
+
+    def measure(timings=None):
+        per_call, method = guarded_per_call(run_sync, reps, per_call_evals,
+                                            timings)
+        _, out = chained(t, p, x, 1)
+        result = {"points_per_s": round(per_call_points / per_call, 1),
+                  "evals_per_s": round(per_call_evals / per_call, 1),
+                  "wall_s_per_call": round(per_call, 5)}
+        if method != "chained-diff":
+            result["method"] = method
+        return result, out
 
     return warm, measure
 
@@ -402,6 +448,11 @@ def prep_config5(num_layers=16, block=4):
             "evals_per_s": round(evals / wall, 1),
             "bytes_written": int(nbytes),
         }
+        # Streamed wall includes real device->host transfer + file IO; a
+        # sub-0.3 s wall for a 64 MB write would mean the measurement
+        # raced the writer, not that the device got faster.
+        if wall < 0.3:
+            result["note"] = "implausibly fast; treat as invalid"
         path.unlink()
         return result
 
@@ -415,7 +466,9 @@ def config5_streamed(num_layers=16, block=4):
 def start_scaling_cpu_mesh():
     """Launches tools/bench_scaling.py in a CPU subprocess (8 virtual
     devices).  Started up front: it needs no TPU, so it runs concurrently
-    with the tunnel-bound TPU stages."""
+    with the tunnel-bound TPU stages (it never shares the device with a
+    timed TPU section; host-CPU overlap only perturbs untimed compile
+    waits)."""
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     return subprocess.Popen(
@@ -425,7 +478,9 @@ def start_scaling_cpu_mesh():
 
 
 def collect_scaling(proc):
-    budget = max(30.0, DEADLINE_S + 120.0 - (time.perf_counter() - _T0))
+    if proc is None:
+        return None
+    budget = max(30.0, DEADLINE_S + 300.0 - elapsed())
     try:
         out, _ = proc.communicate(timeout=budget)
     except subprocess.TimeoutExpired:
@@ -437,58 +492,21 @@ def collect_scaling(proc):
     return json.loads(out.strip().splitlines()[-1])
 
 
-def start_extras(flag_dir):
-    """Launches tools/bench_extras.py: builds + warms the TPU extra
-    stages concurrently with the headline's compile, then waits for the
-    headline_done flag before its timed runs (device-exclusive timing on
-    both sides; remote compiles overlap)."""
-    return subprocess.Popen(
-        [sys.executable, str(REPO / "tools" / "bench_extras.py"),
-         str(flag_dir)],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        cwd=str(REPO))
-
-
-def collect_extras(proc):
-    if proc is None:
-        return None
-    budget = max(300.0, _T0 + 1900.0 - time.perf_counter())
-    try:
-        out, _ = proc.communicate(timeout=budget)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.communicate()
-        return None
-    if proc.returncode != 0:
-        return None
-    try:
-        return json.loads(out.strip().splitlines()[-1])
-    except Exception:
-        return None
-
-
 def main():
     timings = {}
-    flag_dir = Path(tempfile.mkdtemp(prefix="pylbl_bench_flags_"))
-    try:
-        extras_proc = start_extras(flag_dir)
-    except Exception:
-        extras_proc = None
     pack, grid = build_workload()
     # Reference C single-core rate FIRST, on an uncontended host (the
     # CPU-mesh scaling subprocess below would otherwise compete for the
     # 2 vCPUs and skew the measurement), on the FULL headline workload.
     ref, expected = reference_rate(pack, grid)
-    timings["reference_c_s"] = round(time.perf_counter() - _T0, 1)
+    timings["reference_c_s"] = round(elapsed(), 1)
     try:
         scaling_proc = start_scaling_cpu_mesh()
     except Exception:
         scaling_proc = None
     # The axon tunnel's remote-compile RPC occasionally drops mid-read
     # ("response body closed before all bytes were read"); one retry after
-    # a short pause reliably recovers.  Warm (compile-dominated) first;
-    # the timed measurement waits for the extras subprocess to finish its
-    # own warmups so the two never execute on the device concurrently.
+    # a short pause reliably recovers.
     for attempt in range(3):
         try:
             measure = tpu_warm(pack, grid)
@@ -497,55 +515,39 @@ def main():
             if attempt == 2:
                 raise
             time.sleep(20.0)
-    timings["headline_warm_s"] = round(time.perf_counter() - _T0, 1)
-    if extras_proc is not None:
-        wait_until = time.perf_counter() + min(
-            600.0, max(0.0, _T0 + 1500.0 - time.perf_counter()))
-        while (extras_proc.poll() is None
-               and not (flag_dir / "warm_done").exists()
-               and time.perf_counter() < wait_until):
-            time.sleep(2.0)
-        timings["warm_wait_s"] = round(
-            time.perf_counter() - _T0 - timings["headline_warm_s"], 1)
-    rate, points_rate, spectrum = measure()
-    (flag_dir / "headline_done").touch()
-    timings["headline_s"] = round(time.perf_counter() - _T0, 1)
+    timings["headline_warm_s"] = round(elapsed(), 1)
+    rate, points_rate, spectrum, method = measure(timings=timings)
+    timings["headline_s"] = round(elapsed(), 1)
     vs_baseline = rate / PINNED_C_EVALS_PER_S
 
     extra = {"single_layer_points_per_s": round(points_rate, 1),
              "pinned_c_evals_per_s": PINNED_C_EVALS_PER_S,
              "reference_c_evals_per_s_live": round(ref, 1) if ref else None,
              "parity": parity(spectrum, expected, pack.nu.size)}
-    stage_keys = ("batched_4layer", "config5", "multigas_7gas")
-    extras_results = collect_extras(extras_proc)
-    if extras_results is not None:
-        for key in stage_keys:
-            extra[key] = extras_results.get(key, "missing")
-        timings.update(extras_results.get("_timings", {}))
-    else:
-        # Subprocess unavailable: sequential in-process fallback under
-        # the original deadline logic.
-        extra["extras_subprocess"] = "failed; sequential fallback"
-        stages = (("batched_4layer", lambda: batched_rate(pack, grid),
-                   0.0, 0.0),
-                  ("config5", config5_streamed, 160.0, 0.0),
-                  ("multigas_7gas", lambda: multigas_rate(grid),
-                   0.0, 160.0))
-        for key, fn, reserve, grace in stages:
-            if time.perf_counter() - _T0 > DEADLINE_S + grace:
-                extra[key] = "skipped (deadline)"
-                continue
-            t0 = time.perf_counter()
-            budget = (DEADLINE_S + grace + 60.0 - reserve
-                      - (time.perf_counter() - _T0))
-            try:
-                with stage_alarm(budget):
-                    extra[key] = fn()
-            except StageTimeout:
-                extra[key] = "skipped (stage timeout)"
-            except Exception as exc:  # never lose the headline
-                extra[key] = f"error: {type(exc).__name__}: {exc}"
-            timings[key + "_s"] = round(time.perf_counter() - t0, 1)
+    if method != "chained-diff":
+        extra["headline_method"] = method
+
+    # TPU extra stages, sequential in THIS process (exclusive device).
+    # Each is deadline- and alarm-guarded so a pathological remote
+    # compile skips one stage instead of losing the artifact; an alarm
+    # firing mid-compile leaves no concurrent device user behind.
+    stages = (("batched_4layer", lambda: batched_rate(pack, grid)),
+              ("multigas_7gas", lambda: multigas_rate(grid)),
+              ("config5", config5_streamed))
+    for key, fn in stages:
+        if over_deadline():
+            extra[key] = "skipped (deadline)"
+            continue
+        t0 = time.perf_counter()
+        budget = min(700.0, DEADLINE_S + 250.0 - elapsed())
+        try:
+            with stage_alarm(budget):
+                extra[key] = fn()
+        except StageTimeout:
+            extra[key] = "skipped (stage timeout)"
+        except Exception as exc:  # never lose the headline
+            extra[key] = f"error: {type(exc).__name__}: {exc}"
+        timings[key + "_s"] = round(time.perf_counter() - t0, 1)
     if scaling_proc is not None:
         extra["scaling_cpu_mesh"] = collect_scaling(scaling_proc)
     extra["stage_wall_s"] = timings

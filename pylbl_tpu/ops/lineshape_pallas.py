@@ -1550,25 +1550,99 @@ def padded_strided_layout(assign, num_tiles, chunk=STRIDED_CHUNK):
     return perm, w_start.astype(np.int32), nchunks.astype(np.int32)
 
 
+class StridedLayout:
+    """Chunk-aligned per-tile wings layout plus its dead-slot bookkeeping.
+
+    Built once per (line set, grid) by :func:`build_strided_layout`; the
+    batched/multigas/device-plan builders all consume the same fixups
+    through it instead of each re-deriving perm/idx/dead/assign (the
+    round-3 triplication).  ``w_start`` is in line units (chunk-aligned);
+    ``assign`` carries -1 for dead slots so the in-kernel ownership check
+    drops them.
+    """
+
+    def __init__(self, perm, w_start, w_n, assign, flag=None):
+        self.perm = perm
+        self.idx = np.maximum(perm, 0)
+        self.dead = perm < 0
+        self.w_start = w_start
+        self.w_n = w_n
+        self.assign = np.where(self.dead, -1, assign[self.idx])
+        self.nlines = perm.size
+        # Per-slot SR_FLAG: 1.0 for full-Voigt core-only lines (appended
+        # after the wings region, never visited by the wings pass).
+        self.flag = (np.zeros(perm.size, np.float32) if flag is None
+                     else flag)
+
+    def gather_windows(self, lo, hi):
+        """Permutes per-line window bounds; dead slots get the empty
+        window (lo=1, hi=0) so build_core_segments drops them."""
+        return (np.where(self.dead, 1, lo[self.idx]),
+                np.where(self.dead, 0, hi[self.idx]))
+
+    def gather(self, values):
+        """Permutes any per-line array (dead slots copy line idx 0)."""
+        return values[self.idx]
+
+
+def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK,
+                         flagged=None):
+    """Builds the :class:`StridedLayout` for widened window starts
+    ``s_wide`` on a ``num_points`` grid with overlapped-tile ``stride``.
+
+    ``flagged``: optional [N] bool — lines whose core-correction window
+    spans their whole wings window (reference voigt.c:17-27 pure-Lorentz
+    region generalized: the seg core pass computes their FULL Voigt via
+    SR_FLAG, so the wings pass may skip them entirely).  Flagged lines are
+    APPENDED after the strided wings region — no wings tile ever visits
+    them — with slot flag 1.0 so the core pass adds their Lorentzian.
+    """
+    assign = np.clip(np.asarray(s_wide, np.int64), 0, None) // stride
+    num_tiles = (num_points - 1) // stride + 1
+    if flagged is None or not flagged.any():
+        perm, w_start, w_n = padded_strided_layout(assign, num_tiles, chunk)
+        return StridedLayout(perm, w_start, w_n, assign)
+    flagged = np.asarray(flagged, bool)
+    wings_src = np.nonzero(~flagged)[0]
+    perm_u, w_start, w_n = padded_strided_layout(assign[wings_src],
+                                                 num_tiles, chunk)
+    # Map the subset permutation back to source-line indices, then append
+    # the flagged lines (chunk-padded so downstream alignment math holds).
+    perm_wings = np.where(perm_u < 0, -1,
+                          wings_src[np.maximum(perm_u, 0)])
+    flag_src = np.nonzero(flagged)[0]
+    pad = -flag_src.size % chunk
+    perm_flag = np.concatenate([flag_src,
+                                np.full(pad, -1, np.int64)])
+    perm = np.concatenate([perm_wings, perm_flag])
+    flag = np.zeros(perm.size, np.float32)
+    flag[perm_wings.size:perm_wings.size + flag_src.size] = 1.0
+    return StridedLayout(perm, w_start, w_n, assign, flag=flag)
+
+
 def permute_line_arrays(arrays, perm, zero_keys=("sw", "sw_pre")):
     """Applies a padded_strided_layout perm to per-line constant arrays.
 
     Dead slots copy line 0's constants (finite physics) with the strength
     fields zeroed, so their per-layer prefactor is exactly 0 — they are
     additionally dropped by the in-kernel ownership check (assignment -1)
-    and generate no core instances (empty core windows).  ``q_table`` and
-    other non-per-line fields pass through.
+    and generate no core instances (empty core windows).  ``q_table`` (the
+    only legitimately non-per-line field) passes through; any OTHER shape
+    is an error — silently passing a future per-line 2-D field through
+    would leave it misaligned with the permuted constants.
     """
     idx = np.maximum(perm, 0)
     dead = perm < 0
-    n = perm.size  # every per-line field shares the source length
     src_len = arrays["nu"].shape[0] if "nu" in arrays else None
     out = {}
     for k, v in arrays.items():
-        if k == "q_table" or (src_len is not None
-                              and (v.ndim != 1 or v.shape[0] != src_len)):
+        if k == "q_table":
             out[k] = v
             continue
+        if src_len is not None and (v.ndim != 1 or v.shape[0] != src_len):
+            raise ValueError(
+                f"permute_line_arrays: field {k!r} has shape {v.shape}, "
+                f"expected a 1-D per-line array of length {src_len}")
         g = v[idx]
         if k in zero_keys:
             g = np.where(dead, np.zeros((), v.dtype), g)
@@ -1945,21 +2019,22 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
         # Chunk-aligned per-tile line layout (padded_strided_layout): each
         # tile reads only its own chunks — ~10% fewer chunk visits than
         # the straddle-sharing CSR on the headline pack.
-        assign = np.clip(s_idx, 0, None) // wings_stride
-        num_tiles = (num_points - 1) // wings_stride + 1
-        perm, w_start, w_n = padded_strided_layout(assign, num_tiles)
-        idx = np.maximum(perm, 0)
-        dead = perm < 0
-        kernel_arrays = {k: v[idx] for k, v in kernel_arrays.items()}
+        lay = build_strided_layout(s_idx, wings_stride, num_points)
+        for k, v in kernel_arrays.items():
+            if v.ndim != 1 or v.shape[0] != num0:
+                raise ValueError(
+                    f"make_device_plan: kernel array {k!r} has shape "
+                    f"{v.shape}, expected 1-D of the line count {num0}")
+        kernel_arrays = {k: lay.gather(v) for k, v in kernel_arrays.items()}
         # Dead slots mirror pack_lines_soa's pad fills: zero prefactor,
         # empty wings windows, empty core windows, assignment -1.
         for key, fill in (("prefactor", 0.0), ("s_idx", -1),
                           ("e_idx", -2)):
             v = kernel_arrays[key]
-            kernel_arrays[key] = np.where(dead, fill, v).astype(v.dtype)
-        assign = np.where(dead, -1, assign[idx])
-        cs = np.where(dead, 1, cs[idx])
-        ce = np.where(dead, 0, ce[idx])
+            kernel_arrays[key] = np.where(lay.dead, fill, v).astype(v.dtype)
+        assign = lay.assign
+        w_start, w_n = lay.w_start, lay.w_n
+        cs, ce = lay.gather_windows(cs, ce)
     plan = CorePlan(cs, ce, int(num_points), tile,
                     sort_key=kernel_arrays["y"], mode=core_mode)
     params = plan.gather(kernel_arrays)

@@ -444,18 +444,13 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     wings_stride = lp.pick_wings_stride(
         tile, int((e_wide - s_wide).max(initial=0)) + 1)
     if wings_stride is not None:
-        assign = np.clip(s_wide, 0, None) // wings_stride
-        perm, w_start, w_n = lp.padded_strided_layout(
-            assign, (flat_points - 1) // wings_stride + 1)
-        idx = np.maximum(perm, 0)
-        dead = perm < 0
-        arrays_np = lp.permute_line_arrays(arrays_np, perm)
-        assign = np.where(dead, -1, assign[idx])
-        assign_dev = jnp.asarray(assign.astype(np.float32))
-        core_lo = np.where(dead, 1, core_lo[idx])
-        core_hi = np.where(dead, 0, core_hi[idx])
-        y_ref = y_ref[idx]
-        nlines = perm.size
+        lay = lp.build_strided_layout(s_wide, wings_stride, flat_points)
+        arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
+        assign_dev = jnp.asarray(lay.assign.astype(np.float32))
+        core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
+        y_ref = lay.gather(y_ref)
+        w_start, w_n = lay.w_start, lay.w_n
+        nlines = lay.nlines
     else:
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points,
                                            tile, chunk)
@@ -653,19 +648,14 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     wings_stride = lp.pick_wings_stride(
         tile, int((e_wide - s_wide).max(initial=0)) + 1)
     if wings_stride is not None:
-        assign = np.clip(s_wide, 0, None) // wings_stride
-        perm, w_start, w_n = lp.padded_strided_layout(
-            assign, (num_points - 1) // wings_stride + 1)
-        idx = np.maximum(perm, 0)
-        dead = perm < 0
-        arrays_np = lp.permute_line_arrays(arrays_np, perm)
-        assign = np.where(dead, -1, assign[idx])
-        assign_dev = jnp.asarray(assign.astype(np.float32))
+        lay = lp.build_strided_layout(s_wide, wings_stride, num_points)
+        arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
+        assign_dev = jnp.asarray(lay.assign.astype(np.float32))
         # Dead slots: empty core windows (build_core_segments drops them).
-        core_lo = np.where(dead, 1, core_lo[idx])
-        core_hi = np.where(dead, 0, core_hi[idx])
-        y_ref = y_ref[idx]
-        nlines = perm.size
+        core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
+        y_ref = lay.gather(y_ref)
+        w_start, w_n = lay.w_start, lay.w_n
+        nlines = lay.nlines
     else:
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points,
                                            tile, chunk)

@@ -130,3 +130,24 @@ def test_hot_high_pressure_conditions():
         ours, theirs = run_both(pack, grid, ped, conditions=hot)
         np.testing.assert_allclose(ours, theirs, rtol=1e-8,
                                    atol=theirs.max() * 1e-12)
+
+
+def test_batch_xla_fallback_envelope_is_noop():
+    """The non-fused (xla-backend) batch branch has no precomputed
+    instance windows, so the ``envelope`` argument is documented as a
+    no-op there (gas.py absorption_coefficient_batch docstring): passing
+    one must neither change the result nor trip the pallas pipeline's
+    out-of-envelope guard."""
+    pack = synthetic_line_pack(num_lines=400, nu_min=0.5, nu_max=260.0,
+                               seed=47)
+    grid = np.arange(5.0, 200.0, 0.5)
+    gas = Gas(pack, pack.formula, dtype=np.float64, backend="xla")
+    t = np.asarray([203.37, 288.99])
+    p = np.asarray([11419.0, 98388.0])
+    x = np.asarray([3.0e-6, 6.6e-3])
+    plain = gas.absorption_coefficient_batch(t, p, x, grid)
+    # Envelope far BELOW the actual conditions: the pallas pipeline would
+    # refuse (out-of-envelope guard); the fallback documents it away.
+    enveloped = gas.absorption_coefficient_batch(t, p, x, grid,
+                                                 envelope=(150.0, 0.01))
+    np.testing.assert_array_equal(plain, enveloped)

@@ -209,9 +209,17 @@ def run_multigas_stages(grid, num_layers, reps):
             return acc
         return lambda r: stage_(block0, r)
 
-    def wings_pass(soa):
-        return lp._pallas_pass_strided(soa, ws_d, wn_d, flat_points,
-                                       lp.DEFAULT_TILE, wings_stride)
+    if wings_stride is not None:
+        def wings_pass(soa):
+            return lp._pallas_pass_strided(soa, ws_d, wn_d, flat_points,
+                                           lp.DEFAULT_TILE, wings_stride)
+    else:
+        def wings_pass(soa):
+            batch = soa.shape[0]
+            return lp._pallas_pass_batched(
+                soa, jnp.broadcast_to(ws_d, (batch,) + ws_d.shape),
+                jnp.broadcast_to(wn_d, (batch,) + wn_d.shape), flat_points,
+                lp.DEFAULT_TILE, lp.DEFAULT_CHUNK, "wings")
 
     @jax.jit
     def full_(reps):
