@@ -632,9 +632,9 @@ def _pallas_rows_pass(groups, start, nchunks, num_points, tile,
 #   stay class-homogeneous.
 
 SEG = 32                  # aligned segment width in points.
-SEGP_ROWS = 8             # param rows per instance (7 fields + flag/pad).
+SEGP_ROWS = 8             # param rows per instance (7 fields + slot/pad).
 (SR_SEG0REL, SR_CFRAC, SR_SRW, SR_Y, SR_PREF, SR_SREL,
- SR_EREL, SR_FLAG) = range(8)
+ SR_EREL, SR_SLOT) = range(8)
 
 
 def build_core_segments(core_start, core_end, num_points,
@@ -714,13 +714,15 @@ def build_core_segments(core_start, core_end, num_points,
             chunks_per_tile.astype(np.int32), chunk_slot)
 
 
-def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
+def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np,
+                          slot=None):
     """Builds the ([B,] 8, I_pad) f32 lane-major segment-parameter block.
 
     Row layout (one field per sublane, instances on lanes):
     seg0_rel = seg0 - c_int (exact small f32 integer), c_frac,
     scaled_repwid, y, prefactor, s_rel = s_idx - seg0, e_rel = e_idx -
-    seg0, zero pad.  In-kernel x = ((seg0_rel + o) - c_frac) * srw with
+    seg0, and the slot row (``slot`` per-instance segment slot for the
+    mixed-slot kernel; zeros otherwise).  In-kernel x = ((seg0_rel + o) - c_frac) * srw with
     o = 8k + p reproduces the rows kernel's ((point - c_int) - c_frac)
     bit-exactly (seg0_rel + o is an exact integer add).  Dead lanes
     (inst_line < 0) get (0, 0, 1, 100, 0, 1, -1): empty window, y above
@@ -738,6 +740,8 @@ def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
     idx = xp.maximum(xp.asarray(inst_line), 0)
     g = mat[..., idx, :]                             # [..., I, 8]
     seg0f = xp.asarray(seg0).astype(xp.float32)
+    slotf = (xp.zeros_like(seg0f) if slot is None
+             else xp.asarray(slot).astype(xp.float32))
     vals = xp.stack([
         seg0f - g[..., 0],                           # seg0_rel
         g[..., 1],                                   # c_frac
@@ -746,7 +750,7 @@ def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
         g[..., 4],                                   # pref
         g[..., 5] - seg0f,                           # s_rel
         g[..., 6] - seg0f,                           # e_rel
-        xp.zeros_like(seg0f) + xp.zeros_like(g[..., 7]),
+        slotf + xp.zeros_like(g[..., 7]),
     ], axis=-2)                                      # [..., 8, I]
     fills = xp.asarray([0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0],
                        xp.float32)
@@ -757,22 +761,13 @@ def gather_segment_params(kernel_arrays, inst_line, seg0, xp=np):
 
 
 def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
-                          seg=SEG, use_flags=False):
+                          seg=SEG):
     """Accumulates one 128-instance chunk into the transposed tile block.
 
     blk: (8, chunk) lane-major params; acc: (8, lanes) transposed
     accumulator; m_base: the chunk's segment column (seg//8 * slot);
     point_base: f32 absolute grid point of the segment start (used by the
     wings variant; this core variant works in seg0-relative coordinates).
-
-    ``use_flags`` (compile-time): instances with SR_FLAG set compute the
-    FULL Voigt — the region-0 Lorentzian is added on top of the
-    correction — so their line can skip the wings pass entirely (lines
-    whose core window spans their whole wings window).  Flagged lanes
-    with y past the pure-Lorentz threshold must still contribute their
-    Lorentzian, so the per-chunk early exit checks the flags and the
-    correction is zeroed per lane instead (reference voigt.c:17-27
-    treats y >= 70.55 as exactly Lorentzian).
     """
     seg0_rel = blk[SR_SEG0REL:SR_SEG0REL + 1, :]
     c_frac = blk[SR_CFRAC:SR_CFRAC + 1, :]
@@ -783,12 +778,6 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
     e_rel = blk[SR_EREL:SR_EREL + 1, :]
     ymin = jnp.min(y)
     p_sub = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), dimension=0)
-    if use_flags:
-        flag = blk[SR_FLAG:SR_FLAG + 1, :]
-        skip = (ymin >= 70.55) & (jnp.max(flag) <= 0.0)
-        lorentz_amp = flag * y * jnp.float32(RSQRPI)
-    else:
-        skip = ymin >= 70.55
 
     def with_correction(corr_fn):
         def go():
@@ -797,9 +786,6 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
                 o = (p_sub + jnp.int32(8 * k)).astype(jnp.float32)
                 x = ((seg0_rel + o) - c_frac) * srw
                 val = corr_fn(x, y)
-                if use_flags:
-                    val = jnp.where(y < 70.55, val, 0.0)
-                    val = val + lorentz_amp / (x * x + y * y)
                 mask = (o >= s_rel) & (o <= e_rel)
                 val = jnp.where(mask, pref * val, 0.0)
                 s = jnp.sum(val, axis=1, keepdims=True)        # (8, 1)
@@ -808,7 +794,7 @@ def _seg_chunk_accumulate(blk, col, m_base, point_base, acc, chunk,
         return go
 
     return jax.lax.cond(
-        skip, lambda: acc,
+        ymin >= 70.55, lambda: acc,
         lambda: jax.lax.cond(
             ymin >= 8.425, with_correction(voigt_correction_k1),
             lambda: jax.lax.cond(
@@ -935,22 +921,19 @@ def _seg_kernel_batched(seg_fn, chunk, tile, seg, start_ref,
 
 def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
                      num_points, tile, chunk=ROWS_CHUNK, interpret=False,
-                     kind="core", seg=SEG, use_flags=False):
+                     kind="core", seg=SEG):
     """Segment-32 pass; [num_points] (or [B, num_points]) natural layout
     (the kernel accumulates transposed; one XLA transpose after).
 
     ``kind``: "core" evaluates the Humlicek correction (chunk-min-y
     branched); "wings" the region-0 Lorentzian over the full windows.
-    ``use_flags``: compile-time switch for the SR_FLAG full-Voigt lanes
-    (see _seg_chunk_accumulate); core kind only.
     """
     num_tiles = -(-num_points // tile)
     lanes = tile // 8
     batched = params.ndim == 3
     seg_fn = functools.partial(
         _seg_chunk_accumulate if kind == "core"
-        else _seg_chunk_accumulate_lorentz, seg=seg,
-        **({"use_flags": True} if use_flags and kind == "core" else {}))
+        else _seg_chunk_accumulate_lorentz, seg=seg)
     if batched:
         num_layers = params.shape[0]
         kernel = functools.partial(_seg_kernel_batched, seg_fn, chunk,
@@ -999,6 +982,259 @@ def _pallas_seg_pass(params, tile_start, tile_chunks, chunk_slot,
         return out[:, :num_points]
     out = out.transpose(0, 2, 1).reshape(num_tiles * tile)
     return out[:num_points]
+
+
+# --- Mixed-slot segment core pass -------------------------------------------
+#
+# The segment-32 pass packs instances into per-(tile, slot) streams, each
+# padded to a 128-lane chunk multiple so a chunk's output column is a
+# per-chunk scalar.  On the gas-stacked pack that padding is brutal:
+# 418k lines -> 626k real instances spread over ~14k non-empty streams
+# pad to 1.76M slots (35% utilization; the single-gas pack sits at 86%).
+# The mixed formulation pads per TILE instead: a chunk may mix instances
+# of any of the tile's 32 segment slots, each lane carrying its slot id
+# in row SR_SLOT, and the slot scatter becomes one small MXU matmul:
+#
+#   val[o, i]   (32 window offsets x 128 instances, the Humlicek block)
+#   onehotT[s, i] = (slot[i] == s)
+#   acc[s, o]  += onehotT @ val^T        (32x128 @ 128x32 on the MXU)
+#
+# with point = tile*T + 32*s + o, so the tile's output block reshapes to
+# natural order with no epilogue transpose at all.  The per-chunk y-class
+# branch is unchanged (instances are y-sorted within each tile stream).
+
+def build_core_segments_mixed(core_start, core_end, num_points,
+                              tile=DEFAULT_TILE, seg=SEG, chunk=ROWS_CHUNK,
+                              sort_key=None):
+    """Packs per-line core windows into per-tile mixed-slot streams.
+
+    Same instance derivation as :func:`build_core_segments`, but instances
+    are grouped (and chunk-padded) per TILE, not per (tile, slot) stream;
+    each instance carries its segment slot for the in-kernel MXU scatter.
+
+    Returns:
+        (inst_line [I_pad] int64 with -1 dead lanes,
+         seg0 [I_pad] int64 absolute segment base points,
+         slot [I_pad] int32 segment slot within the tile,
+         tile_start [T] int32 first chunk index per tile,
+         tile_chunks [T] int32 chunk count per tile).
+    """
+    core_start = np.asarray(core_start)
+    core_end = np.asarray(core_end)
+    cs = np.clip(core_start, 0, num_points - 1)
+    ce = np.clip(core_end, 0, num_points - 1)
+    valid = (core_end >= core_start) & (core_end >= 0) \
+        & (core_start < num_points)
+    s0 = cs // seg
+    s1 = ce // seg
+    counts = np.where(valid, s1 - s0 + 1, 0).astype(np.int64)
+    num_tiles = -(-num_points // tile)
+    slots_per_tile = tile // seg
+
+    inst_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off = np.arange(inst_of.size, dtype=np.int64) - np.repeat(starts, counts)
+    segidx = s0[inst_of] + off
+    tile_of = segidx // slots_per_tile
+
+    if sort_key is not None:
+        key = -np.asarray(sort_key, np.float64)[inst_of]   # descending y
+        order = np.lexsort((key, tile_of))
+    else:
+        order = np.argsort(tile_of, kind="stable")
+    tile_s = tile_of[order]
+    segidx_s = segidx[order]
+    lines_s = inst_of[order]
+
+    tile_counts = np.bincount(tile_s, minlength=num_tiles)
+    tile_chunks = -(-tile_counts // chunk)
+    tile_pad = tile_chunks * chunk
+    col_start = np.concatenate(([0], np.cumsum(tile_pad)[:-1]))
+    total = int(tile_pad.sum())
+
+    size = max(total, chunk)
+    inst_line = np.full(size, -1, dtype=np.int64)
+    seg0 = np.zeros(size, dtype=np.int64)
+    slot = np.zeros(size, dtype=np.int32)
+    if tile_s.size:
+        tile_first = np.concatenate(([0], np.cumsum(tile_counts)[:-1]))
+        pos = np.arange(tile_s.size, dtype=np.int64) - tile_first[tile_s]
+        dst = col_start[tile_s] + pos
+        inst_line[dst] = lines_s
+        seg0[dst] = segidx_s * seg
+        slot[dst] = (segidx_s % slots_per_tile).astype(np.int32)
+    tile_start = np.concatenate(([0], np.cumsum(tile_chunks)[:-1]))
+    return (inst_line, seg0, slot, tile_start.astype(np.int32),
+            tile_chunks.astype(np.int32))
+
+
+def _seg_chunk_accumulate_mixed(blk, acc, chunk, seg=SEG, slots=32):
+    """One mixed-slot chunk: full (seg, chunk) Humlicek block + MXU
+    slot scatter into the (slots, seg) tile accumulator."""
+    seg0_rel = blk[SR_SEG0REL:SR_SEG0REL + 1, :]
+    c_frac = blk[SR_CFRAC:SR_CFRAC + 1, :]
+    srw = blk[SR_SRW:SR_SRW + 1, :]
+    y = blk[SR_Y:SR_Y + 1, :]
+    pref = blk[SR_PREF:SR_PREF + 1, :]
+    s_rel = blk[SR_SREL:SR_SREL + 1, :]
+    e_rel = blk[SR_EREL:SR_EREL + 1, :]
+    slot_row = blk[SR_SLOT:SR_SLOT + 1, :]
+    ymin = jnp.min(y)
+
+    def with_correction(corr_fn):
+        def go():
+            o = jax.lax.broadcasted_iota(
+                jnp.int32, (seg, chunk), dimension=0).astype(jnp.float32)
+            x = ((seg0_rel + o) - c_frac) * srw
+            val = corr_fn(x, y)
+            mask = (o >= s_rel) & (o <= e_rel)
+            val = jnp.where(mask, pref * val, 0.0)           # (seg, chunk)
+            sidx = jax.lax.broadcasted_iota(
+                jnp.int32, (slots, chunk), dimension=0).astype(jnp.float32)
+            onehot_t = jnp.where(slot_row == sidx, 1.0, 0.0)  # (slots, chunk)
+            # HIGHEST: the default f32 dot precision on TPU truncates the
+            # val operand to bf16 (measured 3e-5 rel error vs the lane-sum
+            # formulation); full-f32 passes make the scatter a pure sum.
+            return acc + jax.lax.dot(
+                onehot_t, val.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        return go
+
+    return jax.lax.cond(
+        ymin >= 70.55, lambda: acc,
+        lambda: jax.lax.cond(
+            ymin >= 8.425, with_correction(voigt_correction_k1),
+            lambda: jax.lax.cond(
+                ymin >= 6.8, with_correction(voigt_correction_k12),
+                lambda: jax.lax.cond(
+                    ymin >= 2.0, with_correction(voigt_correction_k123),
+                    with_correction(voigt_correction)))))
+
+
+def _seg_kernel_mixed(chunk, tile, seg, start_ref, nchunks_ref, params_ref,
+                      out_ref, buf, sems):
+    t = pl.program_id(0)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    slots = tile // seg
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            (base + jnp.asarray(k, jnp.int32)) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            params_ref.at[:, pl.ds(offset, chunk)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+        return _seg_chunk_accumulate_mixed(buf[slot], acc, chunk, seg,
+                                           slots)
+
+    acc = jnp.zeros((slots, seg), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None]
+
+
+def _seg_kernel_mixed_batched(chunk, tile, seg, start_ref, nchunks_ref,
+                              params_ref, out_ref, buf, sems):
+    """(layer, tile) grid over [B, 8, I] params with shared [T] CSR."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    slots = tile // seg
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            (base + jnp.asarray(k, jnp.int32)) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            params_ref.at[b, :, pl.ds(offset, chunk)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+        return _seg_chunk_accumulate_mixed(buf[slot], acc, chunk, seg,
+                                           slots)
+
+    acc = jnp.zeros((slots, seg), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None, None]
+
+
+def _pallas_seg_pass_mixed(params, tile_start, tile_chunks, num_points,
+                           tile, chunk=ROWS_CHUNK, interpret=False,
+                           seg=SEG):
+    """Mixed-slot segment core pass; natural [..., num_points] output
+    (acc[s, o] with point = tile*T + seg*s + o reshapes directly)."""
+    num_tiles = -(-num_points // tile)
+    slots = tile // seg
+    batched = params.ndim == 3
+    if batched:
+        num_layers = params.shape[0]
+        kernel = functools.partial(_seg_kernel_mixed_batched, chunk, tile,
+                                   seg)
+        grid = (num_layers, num_tiles)
+        out_spec = pl.BlockSpec(
+            (1, 1, slots, seg),
+            lambda b, t, *_: (b, t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (num_layers, num_tiles, slots, seg), jnp.float32)
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        kernel = functools.partial(_seg_kernel_mixed, chunk, tile, seg)
+        grid = (num_tiles,)
+        out_spec = pl.BlockSpec(
+            (1, slots, seg),
+            lambda t, *_: (t, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((num_tiles, slots, seg),
+                                         jnp.float32)
+        semantics = ("arbitrary",)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, SEGP_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
+        ),
+    )(tile_start, tile_chunks, params)
+    if batched:
+        return out.reshape(num_layers, num_tiles * tile)[:, :num_points]
+    return out.reshape(num_tiles * tile)[:num_points]
 
 
 @functools.partial(jax.jit,
@@ -1069,10 +1305,17 @@ class CorePlan:
              self.c_slot) = build_core_segments(
                 core_start, core_end, num_points, tile=tile, seg=seg,
                 chunk=chunk, sort_key=sort_key)
+            self.slot = None
+        elif self.mode == "segmix":
+            (self.inst_line, self.seg0, self.slot, self.t_start,
+             self.t_chunks) = build_core_segments_mixed(
+                core_start, core_end, num_points, tile=tile, seg=seg,
+                chunk=chunk, sort_key=sort_key)
         elif self.mode == "rows":
             self.inst_line, self.g_start, self.g_n = build_core_groups(
                 core_start, core_end, num_points, tile, chunk,
                 sort_key=sort_key)
+            self.slot = None
         else:
             raise ValueError(f"unknown core mode {self.mode!r}")
         self._dev = None
@@ -1083,18 +1326,23 @@ class CorePlan:
 
     def seg_pass(self, params, interpret=False):
         """This plan's segment pass alone (params [..., 8, I] -> spectrum
-        [..., num_points]); seg mode only."""
+        [..., num_points]); seg/segmix modes only."""
+        if self.mode == "segmix":
+            return _pallas_seg_pass_mixed(params, self.t_start,
+                                          self.t_chunks, self.num_points,
+                                          self.tile, self.chunk, interpret,
+                                          seg=self.seg)
         if self.mode != "seg":
-            raise ValueError("seg_pass requires seg mode")
+            raise ValueError("seg_pass requires seg or segmix mode")
         return _pallas_seg_pass(params, self.t_start, self.t_chunks,
                                 self.c_slot, self.num_points, self.tile,
                                 self.chunk, interpret, kind=self.kind,
                                 seg=self.seg)
 
     def core_pass(self, params, interpret=False):
-        """The core-correction pass alone, either mode (for compositions
+        """The core-correction pass alone, any mode (for compositions
         that pair it with a non-tile wings pass)."""
-        if self.mode == "seg":
+        if self.mode in ("seg", "segmix"):
             return self.seg_pass(params, interpret)
         return _pallas_rows_pass(params, self.g_start, self.g_n,
                                  self.num_points, self.tile, self.chunk,
@@ -1108,7 +1356,7 @@ class CorePlan:
         trace's constant tracers."""
         if self._dev is None:
             with jax.ensure_compile_time_eval():
-                if self.mode == "seg":
+                if self.mode in ("seg", "segmix"):
                     self._dev = (jnp.asarray(self.inst_line),
                                  jnp.asarray(self.seg0))
                 else:
@@ -1136,8 +1384,8 @@ class CorePlan:
         at line 0 and are overwritten by :meth:`seg_params` /
         :meth:`wings_params` fills.
         """
-        if self.mode != "seg":
-            raise ValueError("expand_line_arrays requires seg mode")
+        if self.mode not in ("seg", "segmix"):
+            raise ValueError("expand_line_arrays requires seg/segmix mode")
         idx = np.maximum(self.inst_line, 0)
         if xp is np:
             return {k: (v if k == "q_table"
@@ -1147,12 +1395,20 @@ class CorePlan:
         return {k: (v if k == "q_table" else xp.take(v, idx, axis=0))
                 for k, v in arrays.items()}
 
+    @property
+    def _slotf(self):
+        """Per-instance slot row (segmix) or zeros (seg), float32."""
+        if self.slot is None:
+            return np.zeros(self.inst_line.size, np.float32)
+        return self.slot.astype(np.float32)
+
     def _seg_device_consts(self):
         if getattr(self, "_seg_dev", None) is None:
             # First call may be inside a trace: keep the cache concrete.
             with jax.ensure_compile_time_eval():
                 self._seg_dev = (jnp.asarray(self.seg0.astype(np.float32)),
-                                 self._dead_device())
+                                 self._dead_device(),
+                                 jnp.asarray(self._slotf))
         return self._seg_dev
 
     def _dead_device(self):
@@ -1170,22 +1426,23 @@ class CorePlan:
         ``gather`` (same derived rows, same dead-lane fills:
         gather_segment_params) without the per-layer gather.
 
-        ``consts``: optional (seg0f, dead) pair passed as explicit traced
-        arguments — callers embedding this in a jitted program should
-        thread :meth:`_seg_device_consts` through their own parameters
-        (closed-over megabyte constants end up in the compile payload,
-        which the tunneled remote-compile endpoint rejects at config-5
-        scale).
+        ``consts``: optional (seg0f, dead, slotf) triple passed as
+        explicit traced arguments — callers embedding this in a jitted
+        program should thread :meth:`_seg_device_consts` through their own
+        parameters (closed-over megabyte constants end up in the compile
+        payload, which the tunneled remote-compile endpoint rejects at
+        config-5 scale).
         """
-        if self.mode != "seg":
-            raise ValueError("seg_params requires seg mode")
+        if self.mode not in ("seg", "segmix"):
+            raise ValueError("seg_params requires seg/segmix mode")
         if consts is not None:
-            seg0f, dead = consts
+            seg0f, dead, slotf = consts
         elif xp is np:
             seg0f = self.seg0.astype(np.float32)
             dead = self.inst_line < 0
+            slotf = self._slotf
         else:
-            seg0f, dead = self._seg_device_consts()
+            seg0f, dead, slotf = self._seg_device_consts()
         fills = (0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0)
         rows = (seg0f - ka_inst["c_int"].astype(xp.float32),
                 ka_inst["c_frac"],
@@ -1194,7 +1451,7 @@ class CorePlan:
                 ka_inst["prefactor"],
                 ka_inst["s_idx"].astype(xp.float32) - seg0f,
                 ka_inst["e_idx"].astype(xp.float32) - seg0f,
-                xp.zeros_like(seg0f))
+                slotf + xp.zeros_like(seg0f))
         return xp.stack([xp.where(dead, xp.float32(f), r)
                          for f, r in zip(fills, rows)], axis=-2)
 
@@ -1225,15 +1482,18 @@ class CorePlan:
 
     def gather(self, kernel_arrays, xp=np):
         """Per-layer core parameters ([..., 8, I] seg / [..., 64, G] rows)."""
+        seglike = self.mode in ("seg", "segmix")
         if xp is np:
-            if self.mode == "seg":
+            if seglike:
                 return gather_segment_params(kernel_arrays, self.inst_line,
-                                             self.seg0, xp=np)
+                                             self.seg0, xp=np,
+                                             slot=self._slotf)
             return gather_group_params(kernel_arrays, self.inst_line, xp=np)
         dev = self._device_indices()
-        if self.mode == "seg":
-            return gather_segment_params(kernel_arrays, dev[0], dev[1],
-                                         xp=xp)
+        if seglike:
+            return gather_segment_params(
+                kernel_arrays, dev[0], dev[1], xp=xp,
+                slot=self._seg_device_consts()[2])
         return gather_group_params(kernel_arrays, dev[0], xp=xp)
 
     def wings_core(self, soa, w_start, w_n, core_params, chunk,
@@ -1241,6 +1501,11 @@ class CorePlan:
         """Fused wings + core two-pass; single-layer ([8, N] soa) or
         layer-batched ([B, 8, N] soa) by the soa/params rank."""
         batched = np.ndim(core_params) == 3
+        if self.mode == "segmix":
+            wings_fn = _pallas_pass_batched if batched else _pallas_pass
+            return (wings_fn(soa, w_start, w_n, self.num_points, self.tile,
+                             chunk, "wings", interpret)
+                    + self.seg_pass(core_params, interpret))
         if self.mode == "seg":
             fn = _pallas_wings_seg_batched if batched else _pallas_wings_seg
             return fn(soa, w_start, w_n, core_params, self.t_start,

@@ -337,7 +337,7 @@ def derive_envelope(temperature, pressure, t_quantum=5.0,
 def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                              tile=None, chunk=None, t_max=350.0,
                              p_max_atm=5.0, backend="pallas",
-                             interpret=False):
+                             interpret=False, core_mode=None):
     """Builds the all-gases single-launch batched pipeline for one grid.
 
     The 7-gas quickstart runs as ONE wings pass + ONE rows pass per layer
@@ -456,10 +456,10 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                                            tile, chunk)
         nlines = keep
     core_plan = lp.CorePlan(core_lo, core_hi, flat_points, tile,
-                            sort_key=y_ref)
+                            sort_key=y_ref, mode=core_mode)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    if core_plan.mode == "seg":
+    if core_plan.mode in ("seg", "segmix"):
         # Instance-order line constants, expanded ON DEVICE (see
         # make_batched_tpu_fn): physics runs directly in instance space.
         core_inst_dev = core_plan.expand_line_arrays(arrays_dev, xp=jnp)
@@ -470,7 +470,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     # Big device-resident inputs threaded through jit as ARGUMENTS, never
     # closures (see make_batched_tpu_fn: 413-sized compile payloads).
     big = {"arrays": arrays_dev}
-    if core_plan.mode == "seg":
+    if core_plan.mode in ("seg", "segmix"):
         big["core_inst"] = core_inst_dev
         big["seg"] = core_plan._seg_device_consts()
     if wings_stride is not None:
@@ -490,7 +490,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)
-        if core_plan.mode == "seg":
+        if core_plan.mode in ("seg", "segmix"):
             ka_i = line_kernel_arrays(big["core_inst"], static, t, p, x)
             core = core_plan.seg_params(ka_i, xp=jnp, consts=big["seg"])
         else:
@@ -569,7 +569,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
 
 def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                         tile=None, chunk=None, t_max=350.0, p_max_atm=5.0,
-                        interpret=False):
+                        interpret=False, core_mode=None):
     """Builds the fused single-chip batched pipeline for one (gas, grid).
 
     Line constants transfer to the device once (~14 MB for a 300k-line
@@ -661,10 +661,10 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                                            tile, chunk)
         nlines = keep
     core_plan = lp.CorePlan(core_lo, core_hi, num_points, tile,
-                            sort_key=y_ref)
+                            sort_key=y_ref, mode=core_mode)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
-    if core_plan.mode == "seg":
+    if core_plan.mode in ("seg", "segmix"):
         # Instance-order line constants, expanded ON DEVICE (only the
         # int32 index array crosses the tunnel): core params are computed
         # directly in instance space — no per-layer gather + transpose in
@@ -679,7 +679,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     # the remote-compile payload, which the tunnel rejects at config-5
     # scale (HTTP 413 at ~730 MB of instance-expanded constants).
     big = {"arrays": arrays_dev}
-    if core_plan.mode == "seg":
+    if core_plan.mode in ("seg", "segmix"):
         big["core_inst"] = core_inst_dev
         big["seg"] = core_plan._seg_device_consts()
     if wings_stride is not None:
@@ -699,7 +699,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)       # [8, N_pad].
-        if core_plan.mode == "seg":
+        if core_plan.mode in ("seg", "segmix"):
             ka_i = line_kernel_arrays(big["core_inst"], static, t, p, x)
             core = core_plan.seg_params(ka_i, xp=jnp, consts=big["seg"])
         else:
@@ -914,8 +914,240 @@ def shard_stacked_packs(packs, grid, spec, cut_off=c.DEFAULT_CUT_OFF,
     return blocks, arrays["q_table"], static, info, names
 
 
+def _shard_window_arrays(blk, static):
+    """Host wings-window/center arrays for one shard's block.
+
+    Derived from the exact split-center representation (c_base_int/_frac)
+    so the widened windows bound the same per-layer windows the DEVICE
+    physics computes (line_kernel_arrays) — blocks carry float32 nu whose
+    floor can disagree with the float64 host nu near integers.
+    """
+    npv = static["n_per_v"]
+    n = static["num_points"]
+    cut = static["cut_off"]
+    center = blk["c_base_int"].astype(np.int64)
+    b0_rel = np.floor((blk["c_base_int"].astype(np.float64)
+                       + blk["c_base_frac"]) / npv).astype(np.int64)
+    s_wide = (b0_rel - 1 - cut) * npv
+    e_wide = (b0_rel + 1 + cut + 1) * npv
+    if "flat_off" in blk:
+        off = blk["flat_off"].astype(np.int64)
+        s_wide = off + np.clip(s_wide, 0, n - 1)
+        e_wide = off + np.clip(e_wide, 0, n - 1)
+        center = off + np.clip(center, 0, n - 1)
+    return s_wide, e_wide, center
+
+
+def _shard_core_windows(blk, static, s_wide, e_wide, center, t_max,
+                        p_max_atm):
+    """Layer-independent core-instance windows + y sort key for one
+    shard's block (same envelope sizing as make_batched_tpu_fn, but from
+    the block's packed constants: repwid(T) = repwid_base / sqrt(T))."""
+    from ..ops.lineshape import core_halfwidths
+
+    npv = static["n_per_v"]
+    repwid_base = blk["repwid_base"].astype(np.float64)
+    core_w = core_halfwidths(repwid_base / np.sqrt(t_max), npv,
+                             static["cut_off"])
+    shift_w = np.ceil(np.abs(blk["delta_air"].astype(np.float64))
+                      * p_max_atm * npv).astype(np.int64) + 1
+    y_ref = (repwid_base / np.sqrt(275.0)) * blk["gamma_air"] \
+        * (296.0 / 275.0) ** blk["n_air"]
+    if "flat_off" in blk:
+        n = static["num_points"]
+        off = blk["flat_off"].astype(np.int64)
+        local_c = center - off
+        core_lo = off + np.clip(local_c - core_w - shift_w, 0, n - 1)
+        core_hi = off + np.clip(local_c + core_w + shift_w, 0, n - 1)
+    else:
+        core_lo = np.maximum(center - core_w - shift_w, s_wide)
+        core_hi = np.minimum(center + core_w + shift_w, e_wide)
+    return core_lo, core_hi, y_ref
+
+
+def _pad_1d(v, size, fill=None):
+    pad = size - v.shape[0]
+    if pad <= 0:
+        return v
+    tail = np.full(pad, v[0] if fill is None else fill, dtype=v.dtype)
+    return np.concatenate([v, tail])
+
+
+def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
+    """Per-shard Pallas execution plans for the sharded step.
+
+    For every shard this mirrors the single-chip batched builder: a
+    strided overlapped-tile wings layout over the shard's OUTPUT grid
+    (full padded grid in balanced mode; the local slab, in local
+    coordinates, in halo mode) plus a mixed-slot segment core plan, with
+    line constants instance-expanded so the per-layer physics runs in
+    instance order.  Per-shard arrays are padded to common shapes and
+    stacked on a leading [spec] axis (sharded over SPEC_AXIS).
+
+    Returns (plan dict, meta) or None when the strided layout does not
+    apply (window too wide for any stride — caller falls back to XLA).
+    """
+    from ..ops import lineshape_pallas as lp
+
+    spec = next(iter(blocks.values())).shape[0]
+    balanced = info.get("mode") == "balanced"
+    local_n = info["local_points"]
+    n_out = info["padded_points"] if balanced else local_n
+
+    shard_data = []
+    window_max = 1
+    for s in range(spec):
+        blk = {k: v[s] for k, v in blocks.items()}
+        s_wide, e_wide, center = _shard_window_arrays(blk, static)
+        core_lo, core_hi, y_ref = _shard_core_windows(
+            blk, static, s_wide, e_wide, center, t_max, p_max_atm)
+        origin = 0 if balanced else s * local_n
+        shard_data.append((blk, s_wide - origin, e_wide - origin,
+                           core_lo - origin, core_hi - origin, y_ref))
+        window_max = max(window_max,
+                         int((e_wide - s_wide).max(initial=0)) + 1)
+    stride = lp.pick_wings_stride(tile, window_max)
+    if stride is None:
+        return None
+
+    per = []
+    for blk, s_loc, e_loc, c_lo, c_hi, y_ref in shard_data:
+        lay = lp.build_strided_layout(s_loc, stride, n_out)
+        consts = lp.permute_line_arrays(blk, lay.perm)
+        c_lo_p, c_hi_p = lay.gather_windows(c_lo, c_hi)
+        cp = lp.CorePlan(c_lo_p, c_hi_p, n_out, tile,
+                         sort_key=lay.gather(y_ref), mode="segmix")
+        inst = cp.expand_line_arrays(consts, xp=np)
+        per.append((lay, consts, cp, inst))
+
+    m_max = max(lay.nlines for lay, _, _, _ in per)
+    i_max = max(cp.inst_line.size for _, _, cp, _ in per)
+    plan = {
+        "lines": {k: np.stack([_pad_1d(consts[k], m_max)
+                               for _, consts, _, _ in per])
+                  for k in per[0][1]},
+        "assign": np.stack([
+            _pad_1d(lay.assign.astype(np.float32), m_max, -1.0)
+            for lay, _, _, _ in per]),
+        "w_start": np.stack([lay.w_start for lay, _, _, _ in per]),
+        "w_n": np.stack([lay.w_n for lay, _, _, _ in per]),
+        "inst": {k: np.stack([_pad_1d(inst[k], i_max)
+                              for _, _, _, inst in per])
+                 for k in per[0][3]},
+        "seg0f": np.stack([
+            _pad_1d(cp.seg0.astype(np.float32), i_max, 0.0)
+            for _, _, cp, _ in per]),
+        "dead": np.stack([
+            _pad_1d(cp.inst_line < 0, i_max, True)
+            for _, _, cp, _ in per]),
+        "slotf": np.stack([_pad_1d(cp._slotf, i_max, 0.0)
+                           for _, _, cp, _ in per]),
+        "t_start": np.stack([cp.t_start for _, _, cp, _ in per]),
+        "t_chunks": np.stack([cp.t_chunks for _, _, cp, _ in per]),
+    }
+    return plan, {"stride": stride, "n_out": n_out, "balanced": balanced}
+
+
+def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
+                              tile, t_max, p_max_atm, interpret):
+    """The Pallas variant of :func:`make_lines_sharded_step`: every shard
+    runs the production strided-wings + mixed-slot-core kernels on its own
+    block (SURVEY 2.8 — the single-chip kernel work composes with the
+    sharding instead of falling back to the portable XLA path).
+
+    Returns a step with the same call signature, taking the plan pytree
+    (exposed as ``step.call_blocks``) in place of the raw blocks.
+    """
+    from ..ops import lineshape_pallas as lp
+
+    built = _build_shard_plans(blocks, static, info, tile, t_max,
+                               p_max_atm)
+    if built is None:
+        return None
+    plan, meta = built
+    stride = meta["stride"]
+    n_out = meta["n_out"]
+    balanced = meta["balanced"]
+    local_n = info["local_points"]
+    stacked = "flat_points" in info
+    fills = (0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0)
+
+    def shard_fn(plan, q_table, temperature, pressure, vmr):
+        local = jax.tree.map(lambda a: a[0], plan)
+        origin = 0 if balanced \
+            else jax.lax.axis_index(SPEC_AXIS) * local_n
+        lines = dict(local["lines"])
+        lines["q_table"] = q_table
+        inst = dict(local["inst"])
+        inst["q_table"] = q_table
+        seg0f, dead, slotf = (local["seg0f"], local["dead"],
+                              local["slotf"])
+
+        def assemble(t, p, x):
+            ka = line_kernel_arrays(lines, static, t, p, x)
+            rows = [(ka["c_int"] - origin).astype(jnp.float32),
+                    ka["c_frac"], ka["scaled_repwid"], ka["y"],
+                    ka["prefactor"],
+                    (ka["s_idx"] - origin).astype(jnp.float32),
+                    (ka["e_idx"] - origin).astype(jnp.float32),
+                    local["assign"]]
+            soa = jnp.stack(rows, axis=0)
+            ka_i = line_kernel_arrays(inst, static, t, p, x)
+            rows_i = (seg0f - (ka_i["c_int"] - origin).astype(jnp.float32),
+                      ka_i["c_frac"], ka_i["scaled_repwid"], ka_i["y"],
+                      ka_i["prefactor"],
+                      (ka_i["s_idx"] - origin).astype(jnp.float32) - seg0f,
+                      (ka_i["e_idx"] - origin).astype(jnp.float32) - seg0f,
+                      slotf)
+            core = jnp.stack([jnp.where(dead, jnp.float32(f), r)
+                              for f, r in zip(fills, rows_i)], axis=-2)
+            return soa, core
+
+        soa, core = jax.vmap(assemble)(temperature, pressure, vmr)
+        k = lp._pallas_pass_strided(
+            soa, local["w_start"], local["w_n"], n_out, tile, stride,
+            interpret=interpret)
+        k = k + lp._pallas_seg_pass_mixed(
+            core, local["t_start"], local["t_chunks"], n_out, tile,
+            interpret=interpret)
+        if balanced:
+            k = jax.lax.psum_scatter(k, SPEC_AXIS, scatter_dimension=1,
+                                     tiled=True)
+        if weight_density:
+            if stacked:
+                n_density = pressure[:, None] * vmr \
+                    / (c.KB * temperature[:, None])
+                pts = origin + jnp.arange(local_n)
+                gas_pt = jnp.minimum(pts // static["num_points"],
+                                     vmr.shape[1] - 1)
+                k = k * n_density[:, gas_pt]
+            else:
+                n_density = pressure * vmr / (c.KB * temperature)
+                k = k * n_density[:, None]
+        return k
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
+    # annotation, which the default vma checker rejects inside shard_map.
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(SPEC_AXIS), P(), P(BATCH_AXIS), P(BATCH_AXIS),
+                  P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS, SPEC_AXIS),
+        check_vma=False)
+
+    @jax.jit
+    def step(plan, q_table, temperature, pressure, vmr):
+        return fn(plan, q_table, temperature, pressure, vmr)
+
+    step.call_blocks = plan
+    step.backend = "pallas"
+    return step
+
+
 def make_lines_sharded_step(static, info, mesh, weight_density=True,
-                            chunk=512):
+                            chunk=512, backend=None, blocks=None,
+                            tile=None, t_max=350.0, p_max_atm=5.0,
+                            interpret=False):
     """Builds the jitted line-sharded multi-device absorption step.
 
     Unlike :func:`make_sharded_step` (lines replicated; every device does
@@ -931,7 +1163,33 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
         -> [B, padded_points] float32, batch sharded over "batch",
         spectra over "spec".  Cross sections [m2], or absorption [m-1]
         when ``weight_density``.
+
+    ``backend``: "pallas" runs the production strided-wings + mixed-slot
+    segment-core kernels per shard (requires ``blocks`` at build time;
+    balanced/halo modes); "xla" the portable accumulate_segment path (the
+    CPU/parity fallback, and the only ring-mode implementation); None
+    auto-selects pallas on TPU when applicable.  A pallas step consumes
+    its own plan pytree instead of the raw blocks — pass
+    ``step.call_blocks`` (device_put by the caller) as the first call
+    argument.
     """
+    if backend is None:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        backend = "pallas" if (on_tpu or interpret) and blocks is not None \
+            and info.get("mode") != "ring" else "xla"
+    if backend == "pallas":
+        if blocks is None:
+            raise ValueError("backend='pallas' needs the host blocks at "
+                             "build time")
+        if info.get("mode") == "ring":
+            raise ValueError("ring mode has no pallas variant; use "
+                             "backend='xla'")
+        step = _make_pallas_sharded_step(
+            blocks, static, info, mesh, weight_density,
+            tile or 1024, t_max, p_max_atm, interpret)
+        if step is not None:
+            return step
+        # Window too wide for any stride: fall through to the XLA path.
     spec = mesh.shape[SPEC_AXIS]
     # Gas-stacked blocks (shard_stacked_packs) decompose the flat
     # [G * num_points] grid; single-gas blocks the per-gas grid.
@@ -1020,6 +1278,8 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
     def step(blocks, q_table, temperature, pressure, vmr):
         return fn(blocks, q_table, temperature, pressure, vmr)
 
+    step.call_blocks = None   # xla steps consume the raw blocks
+    step.backend = "xla"
     return step
 
 
@@ -1190,7 +1450,8 @@ def make_stacked_pedestal_remover(packs, grid, cut_off=c.DEFAULT_CUT_OFF):
 def make_multigas_sharded_pipeline(packs, grid, mesh,
                                    cut_off=c.DEFAULT_CUT_OFF,
                                    mode="balanced", remove_pedestal=False,
-                                   weight_density=False, chunk=512):
+                                   weight_density=False, chunk=512,
+                                   backend=None, interpret=False):
     """All gases, one multi-device launch — the config-5 composition.
 
     Gas stacking (one kernel launch for every molecule) composed with
@@ -1215,8 +1476,12 @@ def make_multigas_sharded_pipeline(packs, grid, mesh,
     blocks, q_table, static, info, names = shard_stacked_packs(
         packs, grid, spec, cut_off, mode)
     step = make_lines_sharded_step(static, info, mesh,
-                                   weight_density=False, chunk=chunk)
-    blocks_dev = {k: jnp.asarray(v) for k, v in blocks.items()}
+                                   weight_density=False, chunk=chunk,
+                                   blocks=blocks, backend=backend,
+                                   interpret=interpret)
+    blocks_dev = jax.tree.map(
+        jnp.asarray,
+        blocks if step.call_blocks is None else step.call_blocks)
     q_dev = jnp.asarray(q_table)
     num_points = static["num_points"]
     flat_points = static["flat_points"]
@@ -1261,7 +1526,8 @@ def make_multigas_sharded_pipeline(packs, grid, mesh,
 
 def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,
                           mode="balanced", remove_pedestal=False,
-                          weight_density=True, chunk=512):
+                          weight_density=True, chunk=512, backend=None,
+                          interpret=False):
     """End-to-end multi-device absorption with optional pedestal removal.
 
     The device part (line physics + windowed Voigt summation) runs fully
@@ -1285,8 +1551,12 @@ def make_sharded_pipeline(pack, grid, mesh, cut_off=c.DEFAULT_CUT_OFF,
     blocks, q_table, static, info = shard_line_pack(pack, grid, spec,
                                                     cut_off, mode)
     step = make_lines_sharded_step(static, info, mesh,
-                                   weight_density=False, chunk=chunk)
-    blocks_dev = {k: jnp.asarray(v) for k, v in blocks.items()}
+                                   weight_density=False, chunk=chunk,
+                                   blocks=blocks, backend=backend,
+                                   interpret=interpret)
+    blocks_dev = jax.tree.map(
+        jnp.asarray,
+        blocks if step.call_blocks is None else step.call_blocks)
     q_dev = jnp.asarray(q_table)
     remover = make_stacked_pedestal_remover({pack.formula: pack}, grid,
                                             cut_off) \

@@ -422,3 +422,108 @@ def test_padded_strided_layout_empty():
     perm, w_start, w_n = padded_strided_layout(
         np.zeros(0, np.int64), 4, chunk=16)
     assert np.all(perm == -1) and np.all(w_n == 0)
+
+
+def test_build_core_segments_mixed_covers_every_instance():
+    """Mixed-slot packing: every (line, segment) instance lands in exactly
+    one lane of its TILE's stream with the right slot id, and tile
+    padding is the only padding (no per-stream chunk rounding)."""
+    from pylbl_tpu.ops.lineshape_pallas import (SEG,
+                                                build_core_segments_mixed)
+
+    rng = np.random.default_rng(5)
+    n_lines, num_points, tile, chunk = 400, 5000, 256, 128
+    center = np.sort(rng.integers(-40, num_points + 40, n_lines))
+    half = rng.integers(0, 2 * SEG, n_lines)
+    cs, ce = center - half, center + half
+    inst_line, seg0, slot, t_start, t_chunks = build_core_segments_mixed(
+        cs, ce, num_points, tile=tile, chunk=chunk)
+    assert inst_line.size % chunk == 0
+    seen = {}
+    for i in range(inst_line.size):
+        line = inst_line[i]
+        if line < 0:
+            continue
+        key = (int(line), int(seg0[i]) // SEG)
+        assert key not in seen, "duplicate instance"
+        seen[key] = True
+        k = i // chunk
+        t = int(seg0[i]) // tile
+        assert t_start[t] <= k < t_start[t] + t_chunks[t]
+        assert slot[i] == (int(seg0[i]) % tile) // SEG
+    for i in range(n_lines):
+        lo = max(cs[i], 0)
+        hi = min(ce[i], num_points - 1)
+        if ce[i] < cs[i] or hi < 0 or lo >= num_points:
+            continue
+        for s in range(lo // SEG, hi // SEG + 1):
+            assert (i, s) in seen, f"missing instance line={i} seg={s}"
+    # Tile-level padding only: total slots = sum of per-tile chunk counts.
+    assert inst_line.size == max(int(t_chunks.sum()) * chunk, chunk)
+
+
+def test_segmix_pass_matches_seg_pass():
+    """The mixed-slot core pass (per-lane slot + MXU scatter) must match
+    the per-stream segment pass up to addition order — with fewer slots
+    (tile-level padding only)."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 256, 128
+    cs, ce = lp.core_instance_windows(arrays, kin, n, npv, 25)
+    inst_line, seg0, t_start, t_chunks, c_slot = lp.build_core_segments(
+        cs, ce, n, tile=tile, chunk=chunk, sort_key=arrays["y"])
+    params = lp.gather_segment_params(arrays, inst_line, seg0)
+    want = np.asarray(lp._pallas_seg_pass(
+        jax.device_put(params), t_start, t_chunks, c_slot, int(n), tile,
+        chunk, interpret=True))
+
+    (inst_m, seg0_m, slot_m, t_start_m,
+     t_chunks_m) = lp.build_core_segments_mixed(
+        cs, ce, n, tile=tile, chunk=chunk, sort_key=arrays["y"])
+    assert inst_m.size <= inst_line.size
+    params_m = lp.gather_segment_params(arrays, inst_m, seg0_m,
+                                        slot=slot_m)
+    got = np.asarray(lp._pallas_seg_pass_mixed(
+        jax.device_put(params_m), t_start_m, t_chunks_m, int(n), tile,
+        chunk, interpret=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=max(scale, 1e-30) * 1e-5)
+
+
+def test_segmix_batched_matches_per_layer():
+    """Layer-batched mixed-slot pass == per-layer mixed-slot pass."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+    from pylbl_tpu.models.lines.physics import (kernel_inputs,
+                                                line_profile_params)
+
+    pack = synthetic_line_pack(num_lines=90, nu_min=30.0, nu_max=260.0,
+                               seed=23, band_centers=(140.0,))
+    grid = np.arange(40.0, 240.0, 0.2)
+    v0, vn, npv, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, 25)
+    t = np.asarray([288.99, 203.37])
+    p = np.asarray([98388.0, 11419.0])
+    x = np.asarray([6.6e-3, 3.0e-6])
+    params = line_profile_params(pack, t, p, x, keep=keep)
+    kin = kernel_inputs(params, v0, npv, 25)
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, chunk = 256, 128
+    cs = np.asarray(kin["s_idx"]).astype(np.int64).min(axis=0)
+    ce = np.asarray(kin["e_idx"]).astype(np.int64).max(axis=0)
+    (inst_m, seg0_m, slot_m, t_start_m,
+     t_chunks_m) = lp.build_core_segments_mixed(cs, ce, n, tile=tile,
+                                                chunk=chunk)
+    params_m = lp.gather_segment_params(arrays, inst_m, seg0_m,
+                                        slot=slot_m, xp=np)
+    batched = np.asarray(lp._pallas_seg_pass_mixed(
+        jax.device_put(params_m), t_start_m, t_chunks_m, int(n), tile,
+        chunk, interpret=True))
+    for b in range(2):
+        one = np.asarray(lp._pallas_seg_pass_mixed(
+            jax.device_put(params_m[b]), t_start_m, t_chunks_m, int(n),
+            tile, chunk, interpret=True))
+        np.testing.assert_array_equal(batched[b], one)

@@ -281,3 +281,27 @@ def test_multigas_total_on_device(gas_packs, backend):
     scale = max(np.abs(want).max(), 1e-300)
     rel = np.abs(got - want) / np.maximum(np.abs(want), scale * 1e-6)
     assert rel.max() < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["balanced", "halo"])
+def test_multigas_sharded_pipeline_pallas(gas_packs, mode):
+    """The config-5 composition with the Pallas per-shard kernels
+    (strided wings + mixed-slot core, interpret mode on the CPU mesh)
+    must match the per-gas host engine, pedestal included."""
+    from pylbl_tpu.parallel import (make_mesh,
+                                    make_multigas_sharded_pipeline)
+
+    mesh = make_mesh(batch=2, spec=4)
+    fn = make_multigas_sharded_pipeline(gas_packs, GRID, mesh, mode=mode,
+                                        remove_pedestal=True,
+                                        backend="pallas", interpret=True)
+    got = fn(T, P, VMR)
+    for g, (name, pack) in enumerate(gas_packs.items()):
+        gas = Gas(pack, name, dtype=np.float64, backend="xla")
+        for i in range(T.size):
+            want = gas.absorption_coefficient(T[i], P[i], VMR[i, g], GRID,
+                                              remove_pedestal=True)
+            scale = max(want.max(), 1e-300)
+            rel = np.abs(got[i, g] - want) / np.maximum(np.abs(want),
+                                                        scale * 1e-6)
+            assert rel.max() < 5e-4, f"{name} layer {i}: {rel.max()}"

@@ -250,3 +250,62 @@ def test_distributed_mesh_host_major_spec():
 
     mesh = dist.global_mesh()
     assert mesh.shape["spec"] == len(jax.devices()) // jax.process_count()
+
+
+@pytest.mark.parametrize("mode,batch,spec", [
+    ("balanced", 2, 4), ("balanced", 1, 8), ("halo", 2, 4), ("halo", 1, 8)])
+def test_pallas_sharded_step_matches_host_engine(workload, mode, batch,
+                                                 spec):
+    """The Pallas (strided-wings + mixed-slot-core) sharded step: every
+    shard runs the production TPU kernels on its own block (interpret
+    mode on the CPU mesh) and must agree with the float64 host engine."""
+    import jax.numpy as jnp
+    from pylbl_tpu.parallel import (make_lines_sharded_step,
+                                    shard_line_pack)
+
+    pack, grid = workload
+    mesh = make_mesh(batch=batch, spec=spec)
+    blocks, q_table, static, info = shard_line_pack(pack, grid, spec,
+                                                    mode=mode)
+    step = make_lines_sharded_step(static, info, mesh, blocks=blocks,
+                                   backend="pallas", tile=256,
+                                   interpret=True)
+    assert step.backend == "pallas"
+    blocks_dev = jax.tree.map(jnp.asarray, step.call_blocks)
+    temperature = np.asarray([288.99, 269.01, 227.74, 203.37])
+    pressure = np.asarray([98388.0, 117.0, 1032.0, 11419.0])
+    vmr = np.asarray([6.637074e-03, 5.244536e-06, 4.763972e-06,
+                      3.039952e-06])
+    out = np.asarray(step(blocks_dev, jnp.asarray(q_table),
+                          temperature.astype(np.float32),
+                          pressure.astype(np.float32),
+                          vmr.astype(np.float32)))
+    assert out.shape == (4, info["padded_points"])
+    out = out[:, :static["num_points"]]
+
+    gas = Gas(pack, pack.formula, dtype=np.float64, backend="xla")
+    for i in range(4):
+        k = gas.absorption_coefficient(temperature[i], pressure[i], vmr[i],
+                                       grid)
+        expected = number_density(temperature[i], pressure[i], vmr[i]) * k
+        scale = max(expected.max(), 1e-300)
+        rel = np.abs(out[i] - expected) / np.maximum(np.abs(expected),
+                                                     scale * 1e-6)
+        assert rel.max() < 5e-4
+
+
+def test_pallas_sharded_ring_mode_rejected(workload):
+    """Ring mode has no Pallas variant; asking for one must raise (the
+    auto backend silently picks xla instead)."""
+    from pylbl_tpu.parallel import (make_lines_sharded_step,
+                                    shard_line_pack)
+
+    pack, grid = workload
+    mesh = make_mesh(batch=1, spec=8)
+    blocks, q_table, static, info = shard_line_pack(pack, grid, 8,
+                                                    mode="ring")
+    with pytest.raises(ValueError, match="ring"):
+        make_lines_sharded_step(static, info, mesh, blocks=blocks,
+                                backend="pallas")
+    step = make_lines_sharded_step(static, info, mesh, blocks=blocks)
+    assert step.backend == "xla"

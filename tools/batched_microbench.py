@@ -7,8 +7,10 @@ the split cannot drift from the shipped code.  Each stage is timed with
 the chained fori_loop method (see tools/kernel_microbench.py for why
 single-dispatch timing lies on axon).
 
-Usage: python tools/batched_microbench.py [num_lines] [num_layers] [reps]
-       python tools/batched_microbench.py multigas [num_layers] [reps]
+Usage: python tools/batched_microbench.py [num_lines] [num_layers] [reps] [core_mode]
+       python tools/batched_microbench.py multigas [num_layers] [reps] [core_mode]
+
+``core_mode`` (seg | segmix) selects the core-pass formulation for A/B.
 
 The ``multigas`` form times the 7-gas stacked launch (bench.multigas_packs)
 through make_multigas_batched_fn's handles instead: assembly, the strided
@@ -51,10 +53,11 @@ def main():
                  else int(sys.argv[1]))
     num_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    core_mode = sys.argv[4] if len(sys.argv) > 4 else None
 
     grid = np.arange(1.0, 5000.0, 0.1)
     if multigas:
-        run_multigas_stages(grid, num_layers, reps)
+        run_multigas_stages(grid, num_layers, reps, core_mode)
         return
 
     pack = synthetic_line_pack(
@@ -68,7 +71,8 @@ def main():
     vmr = np.full(num_layers, 6.637074e-03, np.float32)
     t_d, p_d, x_d = map(jnp.asarray, (temperature, pressure, vmr))
 
-    fn = pl_lines.make_batched_tpu_fn(pack, grid, cut_off=CUT_OFF)
+    fn = pl_lines.make_batched_tpu_fn(pack, grid, cut_off=CUT_OFF,
+                                      core_mode=core_mode)
     assemble = fn.assemble_layer
     core_plan = fn.core_plan
     wings_stride = fn.wings_stride
@@ -150,8 +154,8 @@ def main():
               ("assemble(phys+blocks)", assembly_stage_),
               (f"wings[{wings_stride or 'tile'}]",
                chained(wings_pass, wings0))]
-    if core_plan.mode == "seg":
-        stages.append((f"core-seg[{core_plan.num_instances}]",
+    if core_plan.mode in ("seg", "segmix"):
+        stages.append((f"core-{core_plan.mode}[{core_plan.num_instances}]",
                        chained(lambda g: core_plan.seg_pass(g), core0)))
     stages.append(("full-batched", full_))
 
@@ -164,7 +168,7 @@ def main():
               f"{dt * 1e3 / num_layers:8.2f} ms/layer")
 
 
-def run_multigas_stages(grid, num_layers, reps):
+def run_multigas_stages(grid, num_layers, reps, core_mode=None):
     """Stage split of the 7-gas stacked launch via its production handles."""
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
     import bench
@@ -172,7 +176,8 @@ def run_multigas_stages(grid, num_layers, reps):
     packs = bench.multigas_packs()
     _, _, static, _ = pl_lines.stack_device_packs(packs, grid)
     flat_points = static["flat_points"]
-    fn = pl_lines.make_multigas_batched_fn(packs, grid)
+    fn = pl_lines.make_multigas_batched_fn(packs, grid,
+                                           core_mode=core_mode)
     core_plan = fn.core_plan
     wings_stride = fn.wings_stride
     ws_d, wn_d = map(jnp.asarray, fn.wings_csr)
