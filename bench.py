@@ -463,6 +463,67 @@ def config5_streamed(num_layers=16, block=4):
     return prep_config5(num_layers, block)()
 
 
+def prep_sharded_1chip(pack, grid, num_layers=4):
+    """The multi-device mesh step on ONE chip (spec=1, Pallas backend).
+
+    Every shard of the mesh path runs the same strided-wings + mixed-slot
+    core kernels as the single-chip pipeline; this measures the per-shard
+    rate of that composition so the scaling work-model multiplies a
+    KERNEL rate, not the portable XLA fallback's.  Comparable to
+    batched_4layer (same workload shape, same evals denominator)."""
+    import jax
+    import jax.numpy as jnp
+    from pylbl_tpu.parallel import make_mesh, shard_line_pack
+    from pylbl_tpu.parallel.lines import make_lines_sharded_step
+
+    v0, vn, n_per_v, n = internal_grid(grid)
+    keep = pack.compat_break_filter(v0, vn, CUT_OFF)
+    mesh = make_mesh(devices=jax.devices()[:1], batch=1, spec=1)
+    blocks, q_table, static, info = shard_line_pack(pack, grid, 1,
+                                                    mode="balanced")
+    step = make_lines_sharded_step(static, info, mesh,
+                                   weight_density=False, blocks=blocks,
+                                   backend="pallas")
+    plan = jax.tree.map(jnp.asarray, step.call_blocks)
+    q_dev = jnp.asarray(q_table)
+    t = np.linspace(220.0, 300.0, num_layers).astype(np.float32)
+    p = np.linspace(5000.0, 98388.0, num_layers).astype(np.float32)
+    x = np.full(num_layers, VMR, np.float32)
+
+    # Plan + q threaded as ARGUMENTS (closures ride the remote-compile
+    # payload; the plan is tens of MB).
+    @jax.jit
+    def chained(plan, q, tt, pp, xx, nreps):
+        def body(i, carry):
+            acc, tc = carry
+            out = step(plan, q, tc, pp, xx)
+            return (acc + jnp.sum(out) * jnp.float32(1e-30), tc + acc * 0)
+        acc, tfin = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), t))
+        return acc
+
+    def run_sync(nreps):
+        float(chained(plan, q_dev, t, p, x, nreps))
+
+    run_sync(1)   # compile + warm
+    evals = num_layers * window_evals(keep, n_per_v)
+
+    def run():
+        per_call, method = guarded_per_call(run_sync, 5, evals)
+        result = {"evals_per_s": round(evals / per_call, 1),
+                  "points_per_s": round(num_layers * n / per_call, 1),
+                  "wall_s_per_call": round(per_call, 5),
+                  "backend": step.backend}
+        if method != "chained-diff":
+            result["method"] = method
+        return result
+
+    return run
+
+
+def sharded_1chip_rate(pack, grid, num_layers=4):
+    return prep_sharded_1chip(pack, grid, num_layers)()
+
+
 def start_scaling_cpu_mesh():
     """Launches tools/bench_scaling.py in a CPU subprocess (8 virtual
     devices).  Started up front: it needs no TPU, so it runs concurrently
@@ -533,7 +594,8 @@ def main():
     # firing mid-compile leaves no concurrent device user behind.
     stages = (("batched_4layer", lambda: batched_rate(pack, grid)),
               ("multigas_7gas", lambda: multigas_rate(grid)),
-              ("config5", config5_streamed))
+              ("config5", config5_streamed),
+              ("sharded_1chip", lambda: sharded_1chip_rate(pack, grid)))
     for key, fn in stages:
         if over_deadline():
             extra[key] = "skipped (deadline)"

@@ -118,7 +118,12 @@ def main(argv=None):
                          help="lo:hi:resolution in cm-1, e.g. 1:3000:0.1")
     compute.add_argument("--output", required=True)
     compute.add_argument("--format", default="all",
-                         choices=["all", "gas", "total"])
+                         choices=["all", "gas", "total"],
+                         help="'all' materializes per-gas per-mechanism "
+                              "spectra on the HOST (slowest at scale); "
+                              "'gas'/'total' reduce on device and ship "
+                              "G x / 3G x less data — prefer these (or "
+                              "--streamed) for large grids/batches")
     compute.add_argument("--lines-backend", default="pyLBL")
     compute.add_argument("--continua-backend", default="mt_ckd")
     compute.add_argument("--cross-sections-backend", default="arts_crossfit")

@@ -1573,7 +1573,13 @@ def _tile_kernel(line_fn, chunk, tile, start_ref, nchunks_ref, lines_ref,
             one_i32 = jnp.int32(1)
             return one(i + 3 * one_i32, one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
 
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4), line_body, acc)
+        # Two-level summation: the chunk sums into a fresh register and
+        # lands in the tile accumulator once, cutting the f32 addition
+        # depth from lines-per-point to chunk + chunks-per-point (the
+        # 300k-line workloads lose ~1 digit to a single running sum).
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, jnp.zeros_like(acc))
+        return acc + part
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
     acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
@@ -1684,7 +1690,13 @@ def _tile_kernel_batched(line_fn, chunk, tile, start_ref, nchunks_ref,
             one_i32 = jnp.int32(1)
             return one(i + 3 * one_i32, one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
 
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4), line_body, acc)
+        # Two-level summation: the chunk sums into a fresh register and
+        # lands in the tile accumulator once, cutting the f32 addition
+        # depth from lines-per-point to chunk + chunks-per-point (the
+        # 300k-line workloads lose ~1 digit to a single running sum).
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, jnp.zeros_like(acc))
+        return acc + part
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
     acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
@@ -1965,8 +1977,11 @@ def _tile_kernel_strided(chunk, tile, stride, start_ref, nchunks_ref,
             return one(i + 3 * one_i32,
                        one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
 
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
-                                 line_body, acc)
+        # Two-level summation (see _tile_kernel): per-chunk partial sums
+        # cut the f32 addition depth ~chunk-fold.
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, jnp.zeros_like(acc))
+        return acc + part
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
     acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
@@ -2024,8 +2039,10 @@ def _tile_kernel_strided_batched(chunk, tile, stride, start_ref,
             return one(i + 3 * one_i32,
                        one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
 
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
-                                 line_body, acc)
+        # Two-level summation (see _tile_kernel).
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, jnp.zeros_like(acc))
+        return acc + part
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
     acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
