@@ -309,3 +309,35 @@ def test_pallas_sharded_ring_mode_rejected(workload):
                                 backend="pallas")
     step = make_lines_sharded_step(static, info, mesh, blocks=blocks)
     assert step.backend == "xla"
+
+
+def test_batched_pipeline_within_golden_band():
+    """Budgeted accuracy: the f32 batched pipeline must stay within HALF
+    the reference golden tolerance vs the C oracle across the canonical
+    cold/hot column (the published anchors' pytest.approx on log values
+    tolerates ~4.8e-5 rel; reference tests/test_gas_optics.py:17-19).
+    Guards the device-physics + Pallas-kernel error budget from
+    regressing past the band."""
+    import oracle
+    from pylbl_tpu.models.lines import internal_grid
+    from pylbl_tpu.parallel.lines import (derive_envelope,
+                                          make_batched_tpu_fn)
+
+    if not oracle.available():
+        pytest.skip("oracle unavailable")
+    pack = synthetic_line_pack(num_lines=3000, nu_min=0.5, nu_max=1000.0,
+                               seed=11)
+    grid = np.arange(1.0, 900.0, 0.1)
+    v0, vn, npv, n = internal_grid(grid)
+    t = np.asarray([203.37, 227.74, 269.01, 288.99], np.float32)
+    p = np.asarray([117.0, 1032.0, 11419.0, 98388.0], np.float32)
+    x = np.full(4, 6.637074e-03, np.float32)
+    t_max, p_max = derive_envelope(t, p)
+    fn = make_batched_tpu_fn(pack, grid, tile=256, chunk=128,
+                             interpret=True, t_max=t_max, p_max_atm=p_max)
+    got = np.asarray(fn(t, p, x), np.float64)
+    for i in range(4):
+        want = oracle.absorption(pack, float(t[i]), float(p[i]),
+                                 float(x[i]), v0, vn, npv, cut_off=25)
+        rel = np.abs(got[i] - want).max() / want.max()
+        assert rel < 2.4e-5, f"layer {i}: {rel:.2e} exceeds half-band"
