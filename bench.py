@@ -498,7 +498,7 @@ def prep_sharded_1chip(pack, grid, num_layers=4):
             acc, tc = carry
             out = step(plan, q, tc, pp, xx)
             return (acc + jnp.sum(out) * jnp.float32(1e-30), tc + acc * 0)
-        acc, tfin = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), t))
+        acc, _ = jax.lax.fori_loop(0, nreps, body, (jnp.float32(0), tt))
         return acc
 
     def run_sync(nreps):

@@ -1261,12 +1261,15 @@ def _pallas_wings_seg_batched(soa, w_start, w_n, params, t_start, t_chunks,
                                   num_points, tile, seg_chunk, interpret)
 
 
-# Production core-pass formulation.  "seg" (segment-32) removes the rows
-# formulation's measured splat/padding overheads; "rows" is kept for A/B
-# and as a fallback.  CorePlan dispatches on this at build time.
-# Measured on the v5e headline workload: rows 6.42 ms/spectrum ->
-# seg 1.18 ms (5.4x), 372k vs 506k instance slots.
-CORE_MODE = "seg"
+# Production core-pass formulation.  "segmix" (mixed-slot segment-32,
+# round 4) pads instances per TILE instead of per (tile, slot) stream and
+# scatters slots with one small MXU matmul; "seg" (per-stream, round 3)
+# and "rows" (round 2) are kept for A/B.  Measured on a v5e at 16 layers
+# (tools/batched_microbench.py [multigas] N 5 <mode>): single-gas core
+# 2.41 -> 2.16 ms/layer (503k -> 442k slots); 7-gas stacked core
+# 7.02 -> 2.28 ms/layer (1.76M -> 657k slots; the stacked pack's
+# per-stream padding was 65% of its core slots).
+CORE_MODE = "segmix"
 
 # Wings-pass formulation cap for the segment-32 wings variant.  MEASURED
 # SLOWER than the tile splat on the headline workload (9.91 vs 6.13
@@ -2292,7 +2295,7 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
     mode = CORE_MODE if core_mode is None else core_mode
     wings_stride = None
     assign = None
-    if mode == "seg" and wings_mode == "seg":
+    if mode in ("seg", "segmix") and wings_mode == "seg":
         pass                           # segment-32 wings handled below
     elif wings_mode != "tile" and num0:
         wings_stride = pick_wings_stride(
@@ -2322,7 +2325,7 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
     params = plan.gather(kernel_arrays)
     wings_plan = None
     soa, num = pack_lines_soa(kernel_arrays, chunk)
-    if plan.mode == "seg" and wings_mode == "seg":
+    if plan.mode in ("seg", "segmix") and wings_mode == "seg":
         # Segment-32 wings (A/B only — measured slower than the splat).
         # Single fixed layer: the exact per-line windows ARE the instance
         # windows (no envelope widening needed).
