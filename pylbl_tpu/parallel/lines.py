@@ -109,6 +109,21 @@ def device_line_pack(pack, grid, keep=None, cut_off=c.DEFAULT_CUT_OFF):
     return arrays, static
 
 
+def _one_minus_exp_neg(z):
+    """1 - exp(-z) for z >= 0, accurate on TPU.
+
+    The TPU's exp/expm1 approximations carry ~1e-6 absolute error near
+    z = 0, which the radiation-denominator cancellation amplifies by 1/z
+    (measured 3e-4 rel on sub-3 cm-1 lines via plain 1-exp, 1e-4 via
+    expm1).  A degree-7 Taylor series in Horner form covers z < 0.5 to
+    ~2e-7 rel; beyond that expm1's absolute error is no longer
+    amplified."""
+    poly = z * (1.0 - z * (1.0 / 2.0 - z * (1.0 / 6.0 - z * (
+        1.0 / 24.0 - z * (1.0 / 120.0 - z * (1.0 / 720.0
+                                             - z * (1.0 / 5040.0)))))))
+    return jnp.where(z < 0.5, poly, -jnp.expm1(-z))
+
+
 def _q_interp(q_table, q_t0, q_row, temperature):
     """Uniform-grid TIPS interpolation (reference spectral_database.c:97-104),
     per isotopologue slot then gathered per line."""
@@ -153,16 +168,21 @@ def line_kernel_arrays(arrays, static, temperature, pressure,
 
     sb = jnp.exp(arrays["elower"] * c.C2 * (temperature - 296.0)
                  / (temperature * 296.0))
-    g = jnp.exp((-c.C2 * arrays["nu"]) / temperature)
+    # 1 - exp(-z): series-guarded (_one_minus_exp_neg) — low-nu lines
+    # have z ~1e-2 and the cancellation amplifies the TPU exp/expm1
+    # approximations' absolute error ~1/z-fold.  The f64 host path keeps
+    # the reference's plain 1 - exp() form for bit parity with the C
+    # oracle.
+    one_minus_g = _one_minus_exp_neg(c.C2 * arrays["nu"] / temperature)
     q_t = _q_interp(arrays["q_table"], static["q_t0"], arrays["q_row"],
                     temperature)
     sw_pre = arrays.get("sw_pre")
     if sw_pre is None:  # externally built arrays without the hoisted terms
-        gref = jnp.exp((-c.C2 * arrays["nu"]) / 296.0)
+        one_minus_gref = _one_minus_exp_neg(c.C2 * arrays["nu"] / 296.0)
         q_ref = _q_interp(arrays["q_table"], static["q_t0"],
                           arrays["q_row"], jnp.asarray(296.0, q_t.dtype))
-        sw_pre = arrays["sw"] * (q_ref / (1.0 - gref)) * 1.0e-4
-    sw = sw_pre * sb * ((1.0 - g) / q_t)
+        sw_pre = arrays["sw"] * (q_ref / one_minus_gref) * 1.0e-4
+    sw = sw_pre * sb * (one_minus_g / q_t)
 
     repwid_base = arrays.get("repwid_base")
     if repwid_base is None:
