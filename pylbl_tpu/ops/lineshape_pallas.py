@@ -1930,6 +1930,129 @@ def permute_line_arrays(arrays, perm, zero_keys=("sw", "sw_pre")):
     return out
 
 
+def _lorentz_line_pre(point, c_int, c_frac, srw, ysq, pref_y, s, e, acc):
+    """Wings with PREPACKED per-line scalars: the SoA's Y row carries y^2
+    and the PREF row pref*y/sqrt(pi), both folded in at assembly (2
+    vector ops and 1 scalar read fewer per line-visit than
+    :func:`_lorentz_line` + the ownership select)."""
+    x = ((point - c_int) - c_frac) * srw
+    val = pref_y / (x * x + ysq)
+    mask = (point >= s) & (point <= e)
+    return acc + jnp.where(mask, val, 0.0)
+
+
+def _tile_kernel_strided_pre(chunk, tile, stride, start_ref, nchunks_ref,
+                             lines_ref, out_ref, buf, sems):
+    """Prepacked strided wings: REQUIRES the chunk-aligned per-tile
+    layout (padded_strided_layout), whose chunks are private to their
+    tile — no foreign lines are ever fetched, so the per-line ownership
+    check is dropped (dead slots carry zero strength by construction)."""
+    t = pl.program_id(0)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            lines_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def one(i, acc):
+            return _lorentz_line_pre(
+                point, buf[slot, C_INT, i], buf[slot, C_FRAC, i],
+                buf[slot, SRW, i], buf[slot, Y, i], buf[slot, PREF, i],
+                buf[slot, S_IDX, i], buf[slot, E_IDX, i], acc)
+
+        def line_body(j, acc):
+            i = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            return one(i + 3 * one_i32,
+                       one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+
+        # Two-level summation (see _tile_kernel).
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, jnp.zeros_like(acc))
+        return acc + part
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None]
+
+
+def _tile_kernel_strided_pre_batched(chunk, tile, stride, start_ref,
+                                     nchunks_ref, lines_ref, out_ref, buf,
+                                     sems):
+    """(layer, tile) grid variant of the prepacked strided wings."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[t]
+    nchunks = nchunks_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+
+    def chunk_dma(slot, k):
+        slot = jnp.asarray(slot, jnp.int32)
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return pltpu.make_async_copy(
+            lines_ref.at[b, :, pl.ds(offset, chunk)], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    def chunk_body(k, acc):
+        slot = jax.lax.rem(k, jnp.int32(2))
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            chunk_dma(1 - slot, k + 1).start()
+
+        chunk_dma(slot, k).wait()
+
+        def one(i, acc):
+            return _lorentz_line_pre(
+                point, buf[slot, C_INT, i], buf[slot, C_FRAC, i],
+                buf[slot, SRW, i], buf[slot, Y, i], buf[slot, PREF, i],
+                buf[slot, S_IDX, i], buf[slot, E_IDX, i], acc)
+
+        def line_body(j, acc):
+            i = j * jnp.int32(4)
+            one_i32 = jnp.int32(1)
+            return one(i + 3 * one_i32,
+                       one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+                                 line_body, jnp.zeros_like(acc))
+        return acc + part
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    out_ref[...] = acc[None, None]
+
+
 def _tile_kernel_strided(chunk, tile, stride, start_ref, nchunks_ref,
                          lines_ref, out_ref, buf, sems):
     """Wings accumulation for one overlapped tile [t*stride, t*stride+tile)."""
@@ -2070,15 +2193,22 @@ def _strided_combine(out, num_points, tile, stride):
 
 
 def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
-                         chunk=STRIDED_CHUNK, interpret=False):
-    """Strided overlapped-tile wings pass; natural [..., num_points] out."""
+                         chunk=STRIDED_CHUNK, interpret=False,
+                         prepacked=False):
+    """Strided overlapped-tile wings pass; natural [..., num_points] out.
+
+    ``prepacked``: the SoA's Y/PREF rows carry y^2 and pref*y/sqrt(pi)
+    and chunks are private per tile (padded layout) — selects the
+    ownership-check-free kernels.
+    """
     num_tiles = (num_points - 1) // stride + 1
     lanes = tile // 8
     batched = soa.ndim == 3
     if batched:
         num_layers = soa.shape[0]
-        kernel = functools.partial(_tile_kernel_strided_batched, chunk,
-                                   tile, stride)
+        kernel = functools.partial(
+            _tile_kernel_strided_pre_batched if prepacked
+            else _tile_kernel_strided_batched, chunk, tile, stride)
         grid = (num_layers, num_tiles)
         out_spec = pl.BlockSpec(
             (1, 1, 8, lanes),
@@ -2088,8 +2218,9 @@ def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
                                          jnp.float32)
         semantics = ("arbitrary", "arbitrary")
     else:
-        kernel = functools.partial(_tile_kernel_strided, chunk, tile,
-                                   stride)
+        kernel = functools.partial(
+            _tile_kernel_strided_pre if prepacked
+            else _tile_kernel_strided, chunk, tile, stride)
         grid = (num_tiles,)
         out_spec = pl.BlockSpec(
             (1, 8, lanes),
@@ -2240,6 +2371,8 @@ class DevicePlan:
     def __init__(self, soa, w_start, w_n, core_plan, core_params,
                  num_points, tile, chunk, interpret=False,
                  wings_plan=None, wings_stride=None):
+        # With wings_stride, soa's wings rows are PREPACKED (see
+        # make_device_plan) and the ownership-check-free kernels run.
         # With a seg wings_plan, "soa" holds that plan's [8, I] wings
         # parameter block instead of the (8, N) SoA (the bench's chained
         # loop perturbs both blocks generically, so the slot is reused).
@@ -2272,7 +2405,8 @@ class DevicePlan:
         if self.wings_stride is not None:
             wings = _pallas_pass_strided(
                 soa, self.w_start, self.w_n, self.num_points, self.tile,
-                self.wings_stride, interpret=self.interpret)
+                self.wings_stride, interpret=self.interpret,
+                prepacked=True)
             return wings + self.core.core_pass(groups, self.interpret)
         return self.core.wings_core(soa, self.w_start, self.w_n, groups,
                                     self.chunk, self.interpret)
@@ -2339,8 +2473,12 @@ def make_device_plan(kernel_arrays, kin, num_points, n_per_v, cut_off,
         wings_plan = wp
         w_start = w_n = np.zeros(1, np.int32)  # unused in this mode
     elif wings_stride is not None:
-        soa[_PAD, :num] = assign.astype(np.float32)
-        soa[_PAD, num:] = -1.0
+        # Prepacked wings rows for the ownership-check-free strided
+        # kernels (chunks are private per tile under the padded layout;
+        # dead slots carry zero strength): PREF row = pref*y/sqrt(pi),
+        # Y row = y^2.
+        soa[PREF, :] = soa[PREF, :] * soa[Y, :] * np.float32(RSQRPI)
+        soa[Y, :] = soa[Y, :] * soa[Y, :]
     else:
         w_start, w_n = tile_line_ranges(s_idx, e_idx, num_points, tile,
                                         chunk)

@@ -357,7 +357,8 @@ def derive_envelope(temperature, pressure, t_quantum=5.0,
 def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                              tile=None, chunk=None, t_max=350.0,
                              p_max_atm=5.0, backend="pallas",
-                             interpret=False, core_mode=None):
+                             interpret=False, core_mode=None,
+                             wings_chunk=None):
     """Builds the all-gases single-launch batched pipeline for one grid.
 
     The 7-gas quickstart runs as ONE wings pass + ONE rows pass per layer
@@ -464,9 +465,10 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     wings_stride = lp.pick_wings_stride(
         tile, int((e_wide - s_wide).max(initial=0)) + 1)
     if wings_stride is not None:
-        lay = lp.build_strided_layout(s_wide, wings_stride, flat_points)
+        lay = lp.build_strided_layout(
+            s_wide, wings_stride, flat_points,
+            chunk=wings_chunk or lp.STRIDED_CHUNK)
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
-        assign_dev = jnp.asarray(lay.assign.astype(np.float32))
         core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
         y_ref = lay.gather(y_ref)
         w_start, w_n = lay.w_start, lay.w_n
@@ -493,20 +495,28 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     if core_plan.mode in ("seg", "segmix"):
         big["core_inst"] = core_inst_dev
         big["seg"] = core_plan._seg_device_consts()
-    if wings_stride is not None:
-        big["assign"] = assign_dev
 
     def _assemble(big, t, p, x):
         """One layer's kernel inputs: (wings SoA block, core block)."""
         ka = line_kernel_arrays(big["arrays"], static, t, p, x)
-        rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
-                ka["scaled_repwid"], ka["y"], ka["prefactor"],
-                ka["s_idx"].astype(jnp.float32),
-                ka["e_idx"].astype(jnp.float32),
-                big["assign"] if wings_stride is not None
-                else jnp.zeros_like(ka["c_frac"])]
-        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0,
-                -1.0 if wings_stride is not None else 0.0]
+        if wings_stride is not None:
+            # Prepacked wings rows (the strided kernels' _lorentz_line_pre
+            # contract): Y carries y^2, PREF carries pref*y/sqrt(pi); the
+            # private per-tile layout needs no ownership row.
+            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                    ka["scaled_repwid"], ka["y"] * ka["y"],
+                    ka["prefactor"] * ka["y"] * jnp.float32(c.RSQRPI),
+                    ka["s_idx"].astype(jnp.float32),
+                    ka["e_idx"].astype(jnp.float32),
+                    jnp.zeros_like(ka["c_frac"])]
+            fill = [0.0, 0.0, 1.0, 1.0e4, 0.0, -1.0, -2.0, 0.0]
+        else:
+            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                    ka["scaled_repwid"], ka["y"], ka["prefactor"],
+                    ka["s_idx"].astype(jnp.float32),
+                    ka["e_idx"].astype(jnp.float32),
+                    jnp.zeros_like(ka["c_frac"])]
+            fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)
@@ -530,7 +540,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
         if wings_stride is not None:
             k = (lp._pallas_pass_strided(
                     soa, w_start, w_n, flat_points, tile, wings_stride,
-                    interpret=interpret)
+                    chunk=wings_chunk or lp.STRIDED_CHUNK,
+                    interpret=interpret, prepacked=True)
                  + core_plan.core_pass(core, interpret))
         else:
             k = core_plan.wings_core(
@@ -583,6 +594,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.assemble_layer = assemble_layer
     fn.core_plan = core_plan
     fn.wings_stride = wings_stride
+    fn.wings_chunk = wings_chunk or lp.STRIDED_CHUNK
+    fn.wings_prepacked = wings_stride is not None
     fn.wings_csr = (w_start, w_n)
     return fn
 
@@ -670,7 +683,6 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     if wings_stride is not None:
         lay = lp.build_strided_layout(s_wide, wings_stride, num_points)
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
-        assign_dev = jnp.asarray(lay.assign.astype(np.float32))
         # Dead slots: empty core windows (build_core_segments drops them).
         core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
         y_ref = lay.gather(y_ref)
@@ -702,20 +714,28 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     if core_plan.mode in ("seg", "segmix"):
         big["core_inst"] = core_inst_dev
         big["seg"] = core_plan._seg_device_consts()
-    if wings_stride is not None:
-        big["assign"] = assign_dev
 
     def _assemble(big, t, p, x):
         """One layer's kernel inputs: (wings SoA block, core block)."""
         ka = line_kernel_arrays(big["arrays"], static, t, p, x)
-        rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
-                ka["scaled_repwid"], ka["y"], ka["prefactor"],
-                ka["s_idx"].astype(jnp.float32),
-                ka["e_idx"].astype(jnp.float32),
-                big["assign"] if wings_stride is not None
-                else jnp.zeros_like(ka["c_frac"])]
-        fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0,
-                -1.0 if wings_stride is not None else 0.0]
+        if wings_stride is not None:
+            # Prepacked wings rows (the strided kernels' _lorentz_line_pre
+            # contract): Y carries y^2, PREF carries pref*y/sqrt(pi); the
+            # private per-tile layout needs no ownership row.
+            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                    ka["scaled_repwid"], ka["y"] * ka["y"],
+                    ka["prefactor"] * ka["y"] * jnp.float32(c.RSQRPI),
+                    ka["s_idx"].astype(jnp.float32),
+                    ka["e_idx"].astype(jnp.float32),
+                    jnp.zeros_like(ka["c_frac"])]
+            fill = [0.0, 0.0, 1.0, 1.0e4, 0.0, -1.0, -2.0, 0.0]
+        else:
+            rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
+                    ka["scaled_repwid"], ka["y"], ka["prefactor"],
+                    ka["s_idx"].astype(jnp.float32),
+                    ka["e_idx"].astype(jnp.float32),
+                    jnp.zeros_like(ka["c_frac"])]
+            fill = [0.0, 0.0, 1.0, 100.0, 0.0, -1.0, -2.0, 0.0]
         padded = [jnp.pad(r, (0, pad), constant_values=v)
                   for r, v in zip(rows, fill)]
         soa = jnp.stack(padded, axis=0)       # [8, N_pad].
@@ -739,7 +759,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         if wings_stride is not None:
             wings = lp._pallas_pass_strided(
                 soa, w_start, w_n, num_points, tile, wings_stride,
-                interpret=interpret)
+                interpret=interpret, prepacked=True)
             return wings + core_plan.core_pass(core, interpret)
         return core_plan.wings_core(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
@@ -776,6 +796,8 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.assemble_layer = assemble_layer
     fn.core_plan = core_plan
     fn.wings_stride = wings_stride
+    fn.wings_chunk = lp.STRIDED_CHUNK
+    fn.wings_prepacked = wings_stride is not None
     fn.wings_csr = (w_start, w_n)
     return fn
 
@@ -1105,9 +1127,11 @@ def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
 
         def assemble(t, p, x):
             ka = line_kernel_arrays(lines, static, t, p, x)
+            # Prepacked wings rows; see make_batched_tpu_fn._assemble.
             rows = [(ka["c_int"] - origin).astype(jnp.float32),
-                    ka["c_frac"], ka["scaled_repwid"], ka["y"],
-                    ka["prefactor"],
+                    ka["c_frac"], ka["scaled_repwid"],
+                    ka["y"] * ka["y"],
+                    ka["prefactor"] * ka["y"] * jnp.float32(c.RSQRPI),
                     (ka["s_idx"] - origin).astype(jnp.float32),
                     (ka["e_idx"] - origin).astype(jnp.float32),
                     local["assign"]]
@@ -1126,7 +1150,7 @@ def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
         soa, core = jax.vmap(assemble)(temperature, pressure, vmr)
         k = lp._pallas_pass_strided(
             soa, local["w_start"], local["w_n"], n_out, tile, stride,
-            interpret=interpret)
+            interpret=interpret, prepacked=True)
         k = k + lp._pallas_seg_pass_mixed(
             core, local["t_start"], local["t_chunks"], n_out, tile,
             interpret=interpret)

@@ -527,3 +527,54 @@ def test_segmix_batched_matches_per_layer():
             jax.device_put(params_m[b]), t_start_m, t_chunks_m, int(n),
             tile, chunk, interpret=True))
         np.testing.assert_array_equal(batched[b], one)
+
+
+def test_one_minus_exp_neg_accuracy():
+    """The series-guarded radiation denominator must track the f64
+    reference to ~1e-6 rel across the z ranges real lines produce
+    (z = c2 nu / T in [2e-3, 40]); the plain f32 1-exp form loses up to
+    3e-4 on the TPU's exp approximation at small z."""
+    import jax.numpy as jnp
+    from pylbl_tpu.parallel.lines import _one_minus_exp_neg
+
+    z64 = np.concatenate([np.geomspace(2e-3, 0.49, 200),
+                          np.geomspace(0.5, 40.0, 200)])
+    want = 1.0 - np.exp(-z64)
+    got = np.asarray(_one_minus_exp_neg(jnp.asarray(z64, jnp.float32)),
+                     np.float64)
+    rel = np.abs(got - want) / want
+    assert rel.max() < 2e-6, rel.max()
+
+
+def test_strided_prepacked_matches_checked_kernel():
+    """The prepacked ownership-check-free strided wings kernels (Y row =
+    y^2, PREF row = pref*y/sqrt(pi), padded per-tile layout) must match
+    the raw checked kernels exactly on the same layout."""
+    import jax
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    kin, npv, n = small_workload()
+    arrays = lineshape.prepare_kernel_arrays(kin, npv, np.float32)
+    tile, stride = 256, 128
+    s = arrays["s_idx"].astype(np.int64)
+    lay = lp.build_strided_layout(s, stride, int(n), chunk=128)
+    ka = {k: lay.gather(v) for k, v in arrays.items()}
+    for key, fill in (("prefactor", 0.0), ("s_idx", -1), ("e_idx", -2)):
+        ka[key] = np.where(lay.dead, fill, ka[key]).astype(ka[key].dtype)
+    soa, num = lp.pack_lines_soa(ka, 128)
+    soa_checked = soa.copy()
+    soa_checked[lp._PAD, :num] = lay.assign.astype(np.float32)
+    soa_checked[lp._PAD, num:] = -1.0
+    want = np.asarray(lp._pallas_pass_strided(
+        jax.device_put(soa_checked), lay.w_start, lay.w_n, int(n), tile,
+        stride, chunk=128, interpret=True))
+
+    soa_pre = soa.copy()
+    soa_pre[lp.PREF, :] = (soa_pre[lp.PREF, :] * soa_pre[lp.Y, :]
+                           * np.float32(1.0 / np.sqrt(np.pi)))
+    soa_pre[lp.Y, :] = soa_pre[lp.Y, :] ** 2
+    got = np.asarray(lp._pallas_pass_strided(
+        jax.device_put(soa_pre), lay.w_start, lay.w_n, int(n), tile,
+        stride, chunk=128, interpret=True, prepacked=True))
+    np.testing.assert_allclose(got, want,
+                               atol=float(np.abs(want).max()) * 1e-6)

@@ -8,9 +8,11 @@ the chained fori_loop method (see tools/kernel_microbench.py for why
 single-dispatch timing lies on axon).
 
 Usage: python tools/batched_microbench.py [num_lines] [num_layers] [reps] [core_mode]
-       python tools/batched_microbench.py multigas [num_layers] [reps] [core_mode]
+       python tools/batched_microbench.py multigas [num_layers] [reps] [core_mode] [wings_chunk]
 
-``core_mode`` (seg | segmix) selects the core-pass formulation for A/B.
+``core_mode`` (seg | segmix) selects the core-pass formulation and
+``wings_chunk`` (multigas form; 256 default, 128) the strided wings DMA
+chunk, for A/B.
 
 The ``multigas`` form times the 7-gas stacked launch (bench.multigas_packs)
 through make_multigas_batched_fn's handles instead: assembly, the strided
@@ -57,7 +59,8 @@ def main():
 
     grid = np.arange(1.0, 5000.0, 0.1)
     if multigas:
-        run_multigas_stages(grid, num_layers, reps, core_mode)
+        wings_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
+        run_multigas_stages(grid, num_layers, reps, core_mode, wings_chunk)
         return
 
     pack = synthetic_line_pack(
@@ -132,7 +135,9 @@ def main():
     if wings_stride is not None:
         def wings_pass(soa):
             return lp._pallas_pass_strided(soa, ws_d, wn_d, int(n),
-                                           lp.DEFAULT_TILE, wings_stride)
+                                           lp.DEFAULT_TILE, wings_stride,
+                                           chunk=fn.wings_chunk,
+                                           prepacked=fn.wings_prepacked)
     else:
         def wings_pass(soa):
             batch = soa.shape[0]
@@ -168,7 +173,8 @@ def main():
               f"{dt * 1e3 / num_layers:8.2f} ms/layer")
 
 
-def run_multigas_stages(grid, num_layers, reps, core_mode=None):
+def run_multigas_stages(grid, num_layers, reps, core_mode=None,
+                        wings_chunk=None):
     """Stage split of the 7-gas stacked launch via its production handles."""
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
     import bench
@@ -177,7 +183,8 @@ def run_multigas_stages(grid, num_layers, reps, core_mode=None):
     _, _, static, _ = pl_lines.stack_device_packs(packs, grid)
     flat_points = static["flat_points"]
     fn = pl_lines.make_multigas_batched_fn(packs, grid,
-                                           core_mode=core_mode)
+                                           core_mode=core_mode,
+                                           wings_chunk=wings_chunk)
     core_plan = fn.core_plan
     wings_stride = fn.wings_stride
     ws_d, wn_d = map(jnp.asarray, fn.wings_csr)
@@ -217,7 +224,9 @@ def run_multigas_stages(grid, num_layers, reps, core_mode=None):
     if wings_stride is not None:
         def wings_pass(soa):
             return lp._pallas_pass_strided(soa, ws_d, wn_d, flat_points,
-                                           lp.DEFAULT_TILE, wings_stride)
+                                           lp.DEFAULT_TILE, wings_stride,
+                                           chunk=fn.wings_chunk,
+                                           prepacked=fn.wings_prepacked)
     else:
         def wings_pass(soa):
             batch = soa.shape[0]
