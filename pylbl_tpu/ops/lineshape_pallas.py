@@ -1841,7 +1841,7 @@ class StridedLayout:
     drops them.
     """
 
-    def __init__(self, perm, w_start, w_n, assign, flag=None):
+    def __init__(self, perm, w_start, w_n, assign):
         self.perm = perm
         self.idx = np.maximum(perm, 0)
         self.dead = perm < 0
@@ -1849,10 +1849,6 @@ class StridedLayout:
         self.w_n = w_n
         self.assign = np.where(self.dead, -1, assign[self.idx])
         self.nlines = perm.size
-        # Per-slot SR_FLAG: 1.0 for full-Voigt core-only lines (appended
-        # after the wings region, never visited by the wings pass).
-        self.flag = (np.zeros(perm.size, np.float32) if flag is None
-                     else flag)
 
     def gather_windows(self, lo, hi):
         """Permutes per-line window bounds; dead slots get the empty
@@ -1865,39 +1861,13 @@ class StridedLayout:
         return values[self.idx]
 
 
-def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK,
-                         flagged=None):
+def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK):
     """Builds the :class:`StridedLayout` for widened window starts
-    ``s_wide`` on a ``num_points`` grid with overlapped-tile ``stride``.
-
-    ``flagged``: optional [N] bool — lines whose core-correction window
-    spans their whole wings window (reference voigt.c:17-27 pure-Lorentz
-    region generalized: the seg core pass computes their FULL Voigt via
-    SR_FLAG, so the wings pass may skip them entirely).  Flagged lines are
-    APPENDED after the strided wings region — no wings tile ever visits
-    them — with slot flag 1.0 so the core pass adds their Lorentzian.
-    """
+    ``s_wide`` on a ``num_points`` grid with overlapped-tile ``stride``."""
     assign = np.clip(np.asarray(s_wide, np.int64), 0, None) // stride
     num_tiles = (num_points - 1) // stride + 1
-    if flagged is None or not flagged.any():
-        perm, w_start, w_n = padded_strided_layout(assign, num_tiles, chunk)
-        return StridedLayout(perm, w_start, w_n, assign)
-    flagged = np.asarray(flagged, bool)
-    wings_src = np.nonzero(~flagged)[0]
-    perm_u, w_start, w_n = padded_strided_layout(assign[wings_src],
-                                                 num_tiles, chunk)
-    # Map the subset permutation back to source-line indices, then append
-    # the flagged lines (chunk-padded so downstream alignment math holds).
-    perm_wings = np.where(perm_u < 0, -1,
-                          wings_src[np.maximum(perm_u, 0)])
-    flag_src = np.nonzero(flagged)[0]
-    pad = -flag_src.size % chunk
-    perm_flag = np.concatenate([flag_src,
-                                np.full(pad, -1, np.int64)])
-    perm = np.concatenate([perm_wings, perm_flag])
-    flag = np.zeros(perm.size, np.float32)
-    flag[perm_wings.size:perm_wings.size + flag_src.size] = 1.0
-    return StridedLayout(perm, w_start, w_n, assign, flag=flag)
+    perm, w_start, w_n = padded_strided_layout(assign, num_tiles, chunk)
+    return StridedLayout(perm, w_start, w_n, assign)
 
 
 def permute_line_arrays(arrays, perm, zero_keys=("sw", "sw_pre")):
