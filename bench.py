@@ -315,8 +315,11 @@ def prep_batched(pack, grid, num_layers=4):
     # path uses (shrinks the layer-independent core-instance windows).
     t_max, p_max_atm = derive_envelope(t, p)
     fn = make_batched_tpu_fn(pack, grid, t_max=t_max, p_max_atm=p_max_atm)
+    # reps=12: at ~27 ms/call the R-vs-R+1 difference carries the RPC
+    # jitter divided by reps — 5 reps showed a 13% run-to-run spread.
     warm, measure = make_chained(fn.inner, (t, p, x), num_layers * n,
-                                 num_layers * window_evals(keep, n_per_v))
+                                 num_layers * window_evals(keep, n_per_v),
+                                 reps=12)
     warm()
 
     def run():
@@ -373,7 +376,7 @@ def prep_multigas(grid, num_layers=4):
         fn.inner, (t, p, x),
         num_layers * len(packs) * static["num_points"],
         num_layers * window_evals(static["num_lines"],
-                                  static["n_per_v"]))
+                                  static["n_per_v"]), reps=12)
     warm()
 
     def run():
