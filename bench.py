@@ -380,9 +380,25 @@ def prep_multigas(grid, num_layers=4):
     warm()
 
     def run():
-        result, _ = measure()
+        result, out = measure()
         result["gases"] = len(packs)
         result["total_lines"] = static["num_lines"]
+        # Driver-captured stacked parity: every (gas, layer) of the SAME
+        # compiled launch vs the reference C oracle.
+        import oracle
+        if oracle.available():
+            from pylbl_tpu.models.lines import internal_grid as igrid
+            v0, vn, n_per_v, _ = igrid(grid)
+            got = np.asarray(out, np.float64)     # [B, G, n]
+            errs = []
+            for g, (name, pk) in enumerate(packs.items()):
+                for i in range(num_layers):
+                    want = oracle.absorption(pk, float(t[i]), float(p[i]),
+                                             float(x[i, g]), v0, vn,
+                                             n_per_v, cut_off=CUT_OFF)
+                    errs.append(np.abs(got[i, g] - want).max()
+                                / max(want.max(), 1e-300))
+            result["max_rel_err_vs_oracle"] = float(np.max(errs))
         return result
 
     return run
