@@ -1861,11 +1861,80 @@ class StridedLayout:
         return values[self.idx]
 
 
-def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK):
+def _balanced_tile_assign(s, e, stride, tile, num_tiles, chunk):
+    """Chunk-filling tile assignment for the overlapped strided layout.
+
+    The default assignment t = s // stride puts each line in the
+    RIGHTMOST overlapped tile containing its window, and every tile pads
+    its line count to a chunk multiple — 62% extra line-visits on the
+    gas-stacked pack's sparse per-gas tiles.  But any tile t' with
+    t'*stride <= s and e < t'*stride + tile also contains the window
+    (windows are narrower than tile - stride for 1-2 extra choices), so
+    a left-fill greedy can move flexible lines into earlier tiles'
+    partial chunks: processing tiles in ascending order, each tile tops
+    its line count up to the next chunk multiple with not-yet-placed
+    lines from later preferred tiles whose window already fits here.
+    Every move strictly fills an already-paid chunk and removes a line
+    from a later tile, so the chunk total never increases.
+
+    Returns the per-line tile assignment (containment-checked).
+    """
+    t_pref = np.minimum(s // stride, num_tiles - 1)
+    # Leftmost containing tile: t*stride + tile - 1 >= e.
+    t_min = np.maximum(-(-(e - tile + 1) // stride), 0)
+    t_min = np.minimum(t_min, t_pref)
+    assign = t_pref.copy()
+    reach = int((t_pref - t_min).max(initial=0))
+    if reach == 0:
+        return assign
+    order = np.lexsort((t_min, t_pref))   # by t_pref, then t_min
+    cnt = np.bincount(t_pref, minlength=num_tiles)
+    first = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    taken = np.zeros(num_tiles, np.int64)  # pulled-from count per t_pref
+    pulled = np.zeros(num_tiles, np.int64)  # pulled-into count per tile
+    for t in range(num_tiles - 1):
+        n_t = cnt[t] - taken[t] + pulled[t]
+        need = (-n_t) % chunk
+        if need == 0:
+            continue
+        for tp in range(t + 1, min(t + reach + 1, num_tiles)):
+            if need == 0:
+                break
+            # Candidates assigned to tp whose t_min <= t, not yet taken.
+            lo = first[tp] + taken[tp]
+            hi = first[tp] + cnt[tp]
+            if lo >= hi:
+                continue
+            cand = order[lo:hi]
+            ok = np.searchsorted(t_min[cand], t, side="right")
+            m = min(need, int(ok))
+            if m == 0:
+                continue
+            assign[cand[:m]] = t
+            taken[tp] += m
+            pulled[t] += m
+            need -= m
+    return assign
+
+
+def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK,
+                         e_wide=None, tile=DEFAULT_TILE):
     """Builds the :class:`StridedLayout` for widened window starts
-    ``s_wide`` on a ``num_points`` grid with overlapped-tile ``stride``."""
-    assign = np.clip(np.asarray(s_wide, np.int64), 0, None) // stride
+    ``s_wide`` on a ``num_points`` grid with overlapped-tile ``stride``.
+
+    With ``e_wide`` (inclusive widened window ends), lines are
+    2-choice-balanced across the overlapped tiles that contain their
+    window (:func:`_balanced_tile_assign`) to fill partial chunks;
+    without it, each line goes to its rightmost containing tile."""
+    s = np.clip(np.asarray(s_wide, np.int64), 0, None)
     num_tiles = (num_points - 1) // stride + 1
+    if e_wide is None:
+        assign = s // stride
+    else:
+        e = np.minimum(np.clip(np.asarray(e_wide, np.int64), 0, None),
+                       num_points - 1)
+        assign = _balanced_tile_assign(s, np.maximum(e, s), stride, tile,
+                                       num_tiles, chunk)
     perm, w_start, w_n = padded_strided_layout(assign, num_tiles, chunk)
     return StridedLayout(perm, w_start, w_n, assign)
 

@@ -467,7 +467,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     if wings_stride is not None:
         lay = lp.build_strided_layout(
             s_wide, wings_stride, flat_points,
-            chunk=wings_chunk or lp.STRIDED_CHUNK)
+            chunk=wings_chunk or lp.STRIDED_CHUNK, e_wide=e_wide,
+            tile=tile)
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
         core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
         y_ref = lay.gather(y_ref)
@@ -681,7 +682,8 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     wings_stride = lp.pick_wings_stride(
         tile, int((e_wide - s_wide).max(initial=0)) + 1)
     if wings_stride is not None:
-        lay = lp.build_strided_layout(s_wide, wings_stride, num_points)
+        lay = lp.build_strided_layout(s_wide, wings_stride, num_points,
+                                      e_wide=e_wide, tile=tile)
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
         # Dead slots: empty core windows (build_core_segments drops them).
         core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
@@ -1054,7 +1056,8 @@ def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
 
     per = []
     for blk, s_loc, e_loc, c_lo, c_hi, y_ref in shard_data:
-        lay = lp.build_strided_layout(s_loc, stride, n_out)
+        lay = lp.build_strided_layout(s_loc, stride, n_out,
+                                      e_wide=e_loc, tile=tile)
         consts = lp.permute_line_arrays(blk, lay.perm)
         c_lo_p, c_hi_p = lay.gather_windows(c_lo, c_hi)
         cp = lp.CorePlan(c_lo_p, c_hi_p, n_out, tile,

@@ -578,3 +578,33 @@ def test_strided_prepacked_matches_checked_kernel():
         stride, chunk=128, interpret=True, prepacked=True))
     np.testing.assert_allclose(got, want,
                                atol=float(np.abs(want).max()) * 1e-6)
+
+
+def test_balanced_tile_assign_invariants():
+    """2-choice tile balancing: every line's widened window stays fully
+    contained in its assigned tile, and the total chunk count never
+    exceeds the rightmost-tile baseline."""
+    from pylbl_tpu.ops.lineshape_pallas import _balanced_tile_assign
+
+    rng = np.random.default_rng(9)
+    stride, tile, chunk = 128, 512, 64
+    num_points = 20000
+    num_tiles = (num_points - 1) // stride + 1
+    # Clustered line starts (sparse + dense regions) with window widths
+    # up to the containment limit tile - stride + 1.
+    s = np.sort(np.concatenate([
+        rng.integers(0, num_points, 300),
+        rng.integers(4000, 4800, 1500),
+        rng.integers(12000, 12100, 900)]))
+    w = rng.integers(1, tile - stride + 1, s.size)
+    e = np.minimum(s + w - 1, num_points - 1)
+    assign = _balanced_tile_assign(s, e, stride, tile, num_tiles, chunk)
+    assert (assign * stride <= s).all()
+    assert (e <= assign * stride + tile - 1).all()
+    cnt = np.bincount(assign, minlength=num_tiles)
+    base = np.bincount(np.minimum(s // stride, num_tiles - 1),
+                       minlength=num_tiles)
+    chunks = int(np.ceil(cnt / chunk).sum())
+    chunks_base = int(np.ceil(base / chunk).sum())
+    assert chunks <= chunks_base
+    assert cnt.sum() == s.size
