@@ -440,12 +440,16 @@ def prep_config5(num_layers=16, block=4):
     def run():
         path = Path(tempfile.mkdtemp(prefix="pylbl_bench_")) / "config5.h5"
         t0 = time.perf_counter()
+        compute_s = write_s = 0.0
         with StreamingWriter(path, num_layers, grid,
                              ["absorption_total"]) as writer:
             for b in range(nblocks):
                 sl = slice(b * block, (b + 1) * block)
+                tc = time.perf_counter()
                 beta = np.asarray(fn.total(t[sl], p[sl], x[sl]),
                                   np.float64)
+                compute_s += time.perf_counter() - tc
+                tw = time.perf_counter()
                 for i in range(block):
                     # Internal grid -> user grid truncation (the
                     # reference's k[:grid.size] contract,
@@ -453,6 +457,7 @@ def prep_config5(num_layers=16, block=4):
                     writer.write_state(
                         b * block + i,
                         {"absorption_total": beta[i, :grid.size]})
+                write_s += time.perf_counter() - tw
         wall = time.perf_counter() - t0
         nbytes = path.stat().st_size
         evals = num_layers * window_evals(static["num_lines"],
@@ -463,6 +468,12 @@ def prep_config5(num_layers=16, block=4):
             "gases": len(packs),
             "total_lines": static["num_lines"],
             "wall_s": round(wall, 2),
+            # compute_fetch includes the device work AND the [4, 500k]
+            # f32 result transfer over the tunnel; write is the chunked
+            # netCDF append.  The split shows which side moved when the
+            # total varies run to run (the device work is ~constant).
+            "compute_fetch_s": round(compute_s, 2),
+            "write_s": round(write_s, 2),
             "points_per_s": round(num_layers * grid.size / wall, 1),
             "evals_per_s": round(evals / wall, 1),
             "bytes_written": int(nbytes),
