@@ -2022,13 +2022,18 @@ def _tile_kernel_strided_pre(chunk, tile, stride, start_ref, nchunks_ref,
                 buf[slot, S_IDX, i], buf[slot, E_IDX, i], acc)
 
         def line_body(j, acc):
-            i = j * jnp.int32(4)
+            # 16x unroll, measured sweep on the v5e headline workload:
+            # 4x 3.68 / 8x 3.22 / 16x 2.93 / 32x 3.52 ms/layer wings —
+            # larger blocks let Mosaic pipeline the divide latency until
+            # code size wins at 32x.
+            i = j * jnp.int32(16)
             one_i32 = jnp.int32(1)
-            return one(i + 3 * one_i32,
-                       one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+            for u in range(16):
+                acc = one(i + u * one_i32, acc)
+            return acc
 
         # Two-level summation (see _tile_kernel).
-        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 16),
                                  line_body, jnp.zeros_like(acc))
         return acc + part
 
@@ -2078,12 +2083,13 @@ def _tile_kernel_strided_pre_batched(chunk, tile, stride, start_ref,
                 buf[slot, S_IDX, i], buf[slot, E_IDX, i], acc)
 
         def line_body(j, acc):
-            i = j * jnp.int32(4)
+            i = j * jnp.int32(16)
             one_i32 = jnp.int32(1)
-            return one(i + 3 * one_i32,
-                       one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+            for u in range(16):
+                acc = one(i + u * one_i32, acc)
+            return acc
 
-        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 16),
                                  line_body, jnp.zeros_like(acc))
         return acc + part
 
