@@ -1570,17 +1570,20 @@ def _tile_kernel(line_fn, chunk, tile, start_ref, nchunks_ref, lines_ref,
                            buf[slot, E_IDX, i], acc)
 
         def line_body(j, acc):
-            # Manual 4x unroll: amortizes Mosaic loop bookkeeping.  The
-            # astype keeps the index i32 under jax_enable_x64.
-            i = j * jnp.int32(4)
+            # 16x unroll (same sweep as the strided kernels: wider blocks
+            # let Mosaic pipeline the per-line latency).  The astype
+            # keeps the index i32 under jax_enable_x64.
+            i = j * jnp.int32(16)
             one_i32 = jnp.int32(1)
-            return one(i + 3 * one_i32, one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+            for u in range(16):
+                acc = one(i + u * one_i32, acc)
+            return acc
 
         # Two-level summation: the chunk sums into a fresh register and
         # lands in the tile accumulator once, cutting the f32 addition
         # depth from lines-per-point to chunk + chunks-per-point (the
         # 300k-line workloads lose ~1 digit to a single running sum).
-        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 16),
                                  line_body, jnp.zeros_like(acc))
         return acc + part
 
@@ -1687,17 +1690,20 @@ def _tile_kernel_batched(line_fn, chunk, tile, start_ref, nchunks_ref,
                            buf[slot, E_IDX, i], acc)
 
         def line_body(j, acc):
-            # Manual 4x unroll: amortizes Mosaic loop bookkeeping.  The
-            # astype keeps the index i32 under jax_enable_x64.
-            i = j * jnp.int32(4)
+            # 16x unroll (same sweep as the strided kernels: wider blocks
+            # let Mosaic pipeline the per-line latency).  The astype
+            # keeps the index i32 under jax_enable_x64.
+            i = j * jnp.int32(16)
             one_i32 = jnp.int32(1)
-            return one(i + 3 * one_i32, one(i + 2 * one_i32, one(i + one_i32, one(i, acc))))
+            for u in range(16):
+                acc = one(i + u * one_i32, acc)
+            return acc
 
         # Two-level summation: the chunk sums into a fresh register and
         # lands in the tile accumulator once, cutting the f32 addition
         # depth from lines-per-point to chunk + chunks-per-point (the
         # 300k-line workloads lose ~1 digit to a single running sum).
-        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 4),
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 16),
                                  line_body, jnp.zeros_like(acc))
         return acc + part
 
