@@ -131,7 +131,8 @@ def guarded_per_call(run_sync, reps, evals_per_call, timings=None):
     enough reps to be <3% of the wall.
     """
     last_many = None
-    for attempt in range(2):
+    samples = []
+    for attempt in range(5):
         t0 = time.perf_counter()
         run_sync(1)
         one = time.perf_counter() - t0
@@ -141,10 +142,17 @@ def guarded_per_call(run_sync, reps, evals_per_call, timings=None):
         last_many = many
         per = (many - one) / reps
         if per > 0 and RATE_LO <= evals_per_call / per <= RATE_HI:
-            return per, "chained-diff"
-        if timings is not None:
+            # Median of 3 valid samples: the device-side rate wobbles
+            # ~15% run to run (clock/queue), far above the differencing
+            # noise; the median damps it without cherry-picking.
+            samples.append(per)
+            if len(samples) == 3:
+                return float(np.median(samples)), "chained-diff"
+        elif timings is not None:
             timings[f"guard_retry_{attempt}"] = {
                 "one_s": round(one, 4), "many_s": round(many, 4)}
+    if samples:
+        return float(np.median(samples)), "chained-diff"
     # Absolute fallback: size reps so the ~30 ms sync RPC is noise.
     per_est = max(last_many / (reps + 1), 1e-3)
     abs_reps = int(np.clip(np.ceil(2.0 / per_est), reps, 2000))
@@ -209,7 +217,10 @@ def tpu_warm(pack, grid):
 
     run(1)                                      # compile + warm
 
-    def measure(reps=10, timings=None):
+    def measure(reps=30, timings=None):
+        # reps=30: at ~4 ms/spectrum the differenced estimate carries the
+        # tunnel's ~+-5 ms RPC jitter divided by reps (reps=10 showed a
+        # 33-43 G run-to-run headline spread).
         per_spectrum, method = guarded_per_call(
             lambda r: run(r), reps, window_evals(keep, n_per_v), timings)
         _, out = run(1)
