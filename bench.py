@@ -43,8 +43,11 @@ rate for this run is carried in extra.
 - multi-device scaling of the line-sharded step on a virtual 8-device CPU
   mesh (subprocess; work-model efficiency per BASELINE).
 
-Prints exactly one JSON line:
+Prints TWO JSON lines: the full record first, then a ~300-byte compact
+headline summary LAST (the driver's tail capture truncated the full
+line's head in rounds 2-4; the last line always survives and parses):
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
+    {"metric": ..., "value": ..., "vs_baseline": ..., "parity_max_rel": ..., "stages": {...}}
 """
 import json
 import os
@@ -662,6 +665,40 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "extra": extra,
     }))
+    # The driver keeps only the TAIL of stdout; the full line above is
+    # ~7 KB, so its head (the headline fields) was truncated out of the
+    # round-2..4 artifacts.  Print a compact summary line LAST — any tail
+    # capture retains it, and a last-line JSON parse succeeds.
+    print(json.dumps(compact_summary(rate, vs_baseline, extra)))
+
+
+def _stage_rate(v):
+    """evals/s of a stage result, or the skip/error string, or None."""
+    if isinstance(v, dict):
+        rate = v.get("evals_per_s")
+        return round(rate, 1) if rate is not None else None
+    if isinstance(v, str):
+        return v[:60]
+    return None
+
+
+def compact_summary(rate, vs_baseline, extra):
+    """~300-byte headline record: what the artifact must never lose."""
+    par = extra.get("parity")
+    scal = extra.get("scaling_cpu_mesh")
+    return {
+        "metric": "voigt_line_point_evals_per_s",
+        "value": round(rate, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "parity_max_rel": par.get("max_rel_err") if isinstance(par, dict) else None,
+        "stages": {k: _stage_rate(extra.get(full)) for k, full in
+                   (("batched", "batched_4layer"),
+                    ("multigas", "multigas_7gas"),
+                    ("config5", "config5"),
+                    ("sharded_1chip", "sharded_1chip"))},
+        "scaling_eff_at_8": scal.get("efficiency_at_8") if isinstance(scal, dict) else None,
+    }
 
 
 if __name__ == "__main__":

@@ -58,6 +58,35 @@ def test_contended_measurement_never_clamps(monkeypatch):
     assert per >= per_true
 
 
+def test_compact_summary_is_small_and_parseable():
+    """The LAST printed line must survive the driver's tail capture:
+    rounds 2-4 lost the headline because the single ~7 KB line's head was
+    truncated.  The compact record must stay tiny and carry the headline
+    value, vs_baseline, parity and per-stage rates."""
+    import json
+    extra = {
+        "parity": {"max_abs_err": 1e-9, "max_rel_err": 3.4e-6,
+                   "workload_lines": 300000},
+        "batched_4layer": {"evals_per_s": 2.9e10, "points_per_s": 9.6e6},
+        "multigas_7gas": {"evals_per_s": 1.96e10},
+        "config5": "skipped (deadline)",
+        "sharded_1chip": {"evals_per_s": 2.85e10},
+        "scaling_cpu_mesh": {"efficiency_at_8": 0.9997},
+    }
+    line = json.dumps(bench.compact_summary(3.69e10, 79.0, extra))
+    assert len(line) < 600
+    back = json.loads(line)
+    assert back["value"] == 3.69e10 and back["vs_baseline"] == 79.0
+    assert back["parity_max_rel"] == 3.4e-6
+    assert back["stages"]["batched"] == 2.9e10
+    assert back["stages"]["config5"].startswith("skipped")
+    assert back["scaling_eff_at_8"] == 0.9997
+    # Robust to missing/error stages too.
+    empty = bench.compact_summary(1.0, 1.0, {})
+    assert empty["parity_max_rel"] is None
+    assert all(v is None for v in empty["stages"].values())
+
+
 def test_implausibly_fast_rate_rejected(monkeypatch):
     clock = FakeClock(monkeypatch)
 
