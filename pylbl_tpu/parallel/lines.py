@@ -117,7 +117,12 @@ def _one_minus_exp_neg(z):
     (measured 3e-4 rel on sub-3 cm-1 lines via plain 1-exp, 1e-4 via
     expm1).  A degree-7 Taylor series in Horner form covers z < 0.5 to
     ~2e-7 rel; beyond that expm1's absolute error is no longer
-    amplified."""
+    amplified.  f64 inputs (e.g. the x64 CPU-mesh test path) skip the
+    series — there expm1 is correctly rounded and the degree-7 series
+    would CAP accuracy at ~2.6e-7 near z = 0.5."""
+    z = jnp.asarray(z)
+    if z.dtype == jnp.float64:
+        return -jnp.expm1(-z)
     poly = z * (1.0 - z * (1.0 / 2.0 - z * (1.0 / 6.0 - z * (
         1.0 / 24.0 - z * (1.0 / 120.0 - z * (1.0 / 720.0
                                              - z * (1.0 / 5040.0)))))))
@@ -168,11 +173,11 @@ def line_kernel_arrays(arrays, static, temperature, pressure,
 
     sb = jnp.exp(arrays["elower"] * c.C2 * (temperature - 296.0)
                  / (temperature * 296.0))
-    # 1 - exp(-z): series-guarded (_one_minus_exp_neg) — low-nu lines
-    # have z ~1e-2 and the cancellation amplifies the TPU exp/expm1
-    # approximations' absolute error ~1/z-fold.  The f64 host path keeps
-    # the reference's plain 1 - exp() form for bit parity with the C
-    # oracle.
+    # 1 - exp(-z): series-guarded for f32 (_one_minus_exp_neg) — low-nu
+    # lines have z ~1e-2 and the cancellation amplifies the TPU
+    # exp/expm1 approximations' absolute error ~1/z-fold.  (The separate
+    # f64 host engine in models/lines/physics.py keeps the reference's
+    # plain 1 - exp() form for bit parity with the C oracle.)
     one_minus_g = _one_minus_exp_neg(c.C2 * arrays["nu"] / temperature)
     q_t = _q_interp(arrays["q_table"], static["q_t0"], arrays["q_row"],
                     temperature)
@@ -1017,6 +1022,16 @@ def _pad_1d(v, size, fill=None):
     return np.concatenate([v, tail])
 
 
+def _pad_line_dict(consts, size):
+    """Pad per-line constants to ``size``, repeating element 0 for the
+    physics fields (keeps values in-range) but ZEROING the strength
+    fields so padded slots are inert by construction — the w_start/w_n
+    chunk windows never read them today, but a future consumer must not
+    pick up phantom absorption."""
+    return {k: _pad_1d(v, size, 0.0 if k in ("sw", "sw_pre") else None)
+            for k, v in consts.items()}
+
+
 def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
     """Per-shard Pallas execution plans for the sharded step.
 
@@ -1067,17 +1082,17 @@ def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
 
     m_max = max(lay.nlines for lay, _, _, _ in per)
     i_max = max(cp.inst_line.size for _, _, cp, _ in per)
+    padded_lines = [_pad_line_dict(consts, m_max) for _, consts, _, _ in per]
+    padded_inst = [_pad_line_dict(inst, i_max) for _, _, _, inst in per]
     plan = {
-        "lines": {k: np.stack([_pad_1d(consts[k], m_max)
-                               for _, consts, _, _ in per])
+        "lines": {k: np.stack([p[k] for p in padded_lines])
                   for k in per[0][1]},
         "assign": np.stack([
             _pad_1d(lay.assign.astype(np.float32), m_max, -1.0)
             for lay, _, _, _ in per]),
         "w_start": np.stack([lay.w_start for lay, _, _, _ in per]),
         "w_n": np.stack([lay.w_n for lay, _, _, _ in per]),
-        "inst": {k: np.stack([_pad_1d(inst[k], i_max)
-                              for _, _, _, inst in per])
+        "inst": {k: np.stack([p[k] for p in padded_inst])
                  for k in per[0][3]},
         "seg0f": np.stack([
             _pad_1d(cp.seg0.astype(np.float32), i_max, 0.0)
@@ -1119,8 +1134,13 @@ def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
 
     def shard_fn(plan, q_table, temperature, pressure, vmr):
         local = jax.tree.map(lambda a: a[0], plan)
+        # Kernel coordinate origin: 0 in balanced mode (every shard
+        # accumulates from grid origin; psum_scatter lands the slabs).
+        # Density weighting happens AFTER the scatter, when each shard
+        # holds its OWN slab — it always uses the slab origin.
         origin = 0 if balanced \
             else jax.lax.axis_index(SPEC_AXIS) * local_n
+        weight_origin = jax.lax.axis_index(SPEC_AXIS) * local_n
         lines = dict(local["lines"])
         lines["q_table"] = q_table
         inst = dict(local["inst"])
@@ -1164,7 +1184,7 @@ def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
             if stacked:
                 n_density = pressure[:, None] * vmr \
                     / (c.KB * temperature[:, None])
-                pts = origin + jnp.arange(local_n)
+                pts = weight_origin + jnp.arange(local_n)
                 gas_pt = jnp.minimum(pts // static["num_points"],
                                      vmr.shape[1] - 1)
                 k = k * n_density[:, gas_pt]

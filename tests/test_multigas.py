@@ -284,6 +284,44 @@ def test_multigas_total_on_device(gas_packs, backend):
 
 
 @pytest.mark.parametrize("mode", ["balanced", "halo"])
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_stacked_sharded_step_density_weighting(gas_packs, mode, backend):
+    """weight_density=True on the raw stacked sharded step must weight
+    every flat point by its OWN gas's number density on every shard.
+    Round-4 advisor bug: the Pallas balanced path computed the weighting
+    gas index from grid origin 0 on all shards, so every slab past the
+    first was weighted with the wrong gas's density (~2e3 rel error)."""
+    import jax
+    import jax.numpy as jnp
+    from pylbl_tpu.parallel import (make_lines_sharded_step, make_mesh,
+                                    shard_stacked_packs)
+    from pylbl_tpu.spectroscopy import number_density
+
+    mesh = make_mesh(batch=2, spec=4)
+    blocks, q_table, static, info, names = shard_stacked_packs(
+        gas_packs, GRID, 4, mode=mode)
+    step = make_lines_sharded_step(
+        static, info, mesh, weight_density=True, blocks=blocks,
+        backend=backend, interpret=True)
+    assert step.backend == backend
+    call_blocks = blocks if step.call_blocks is None else step.call_blocks
+    blocks_dev = jax.tree.map(jnp.asarray, call_blocks)
+    out = np.asarray(step(blocks_dev, jnp.asarray(q_table),
+                          T.astype(np.float32), P.astype(np.float32),
+                          VMR.astype(np.float32)))
+    n = static["num_points"]
+    got = out[:, :static["flat_points"]].reshape(T.size, len(names), n)
+    xsec = expected_per_gas(gas_packs)  # [B, G, points] cross sections
+    for g in range(len(names)):
+        want = xsec[:, g] * number_density(
+            T, P, VMR[:, g])[:, None]
+        scale = max(want.max(), 1e-300)
+        rel = np.abs(got[:, g] - want) / np.maximum(np.abs(want),
+                                                    scale * 1e-6)
+        assert rel.max() < 5e-4, f"gas {g} rel {rel.max()}"
+
+
+@pytest.mark.parametrize("mode", ["balanced", "halo"])
 def test_multigas_sharded_pipeline_pallas(gas_packs, mode):
     """The config-5 composition with the Pallas per-shard kernels
     (strided wings + mixed-slot core, interpret mode on the CPU mesh)
