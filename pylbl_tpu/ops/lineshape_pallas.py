@@ -1945,6 +1945,46 @@ def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK,
     return StridedLayout(perm, w_start, w_n, assign)
 
 
+def plan_strided_stage(s_wide, e_wide, core_lo, core_hi, y_ref, n_out,
+                       tile=DEFAULT_TILE, chunk=STRIDED_CHUNK,
+                       core_mode=None, stride=None):
+    """One-stop strided-wings + core plan for one line set and output grid.
+
+    The single point where the stride pick, the chunk-aligned 2-choice
+    layout, and the core plan over the PERMUTED dead-slot-aware windows
+    are composed — the batched, multigas, sharded and ring builders all
+    consume this instead of re-deriving the fixup (the round-3/4
+    triplication: each site's clip/offset forms had started to drift).
+
+    Args:
+        s_wide/e_wide: widened per-line window bounds in OUTPUT
+            coordinates (callers handle any slab-origin/flat-gas offsets
+            upstream — those semantics genuinely differ per site).
+        core_lo/core_hi: core-instance windows, same coordinates.
+        y_ref: per-line sort key for core slot homogeneity.
+        stride: reuse a caller-picked stride (sharded builders share one
+            stride across shards); None picks from this set's window max.
+
+    Returns:
+        (stride, StridedLayout, CorePlan) — the CorePlan is built over
+        ``lay.gather_windows``-permuted windows, so its instance indices
+        address LAYOUT slots.  None when no stride fits (only possible
+        when ``stride`` is None; callers fall back to the splat CSR).
+    """
+    if stride is None:
+        stride = pick_wings_stride(
+            tile, int((np.asarray(e_wide) - np.asarray(s_wide))
+                      .max(initial=0)) + 1)
+        if stride is None:
+            return None
+    lay = build_strided_layout(s_wide, stride, n_out, chunk=chunk,
+                               e_wide=e_wide, tile=tile)
+    c_lo, c_hi = lay.gather_windows(core_lo, core_hi)
+    cp = CorePlan(c_lo, c_hi, n_out, tile, sort_key=lay.gather(y_ref),
+                  mode=core_mode)
+    return stride, lay, cp
+
+
 def permute_line_arrays(arrays, perm, zero_keys=("sw", "sw_pre")):
     """Applies a padded_strided_layout perm to per-line constant arrays.
 

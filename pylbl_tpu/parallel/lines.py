@@ -467,24 +467,22 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     # constants in the chunk-aligned per-tile order (padded_strided_layout
     # — a bigger win here than single-gas: the small gases' tiles hold
     # ~300 lines each, so the straddle CSR wasted ~12% of chunk visits).
-    wings_stride = lp.pick_wings_stride(
-        tile, int((e_wide - s_wide).max(initial=0)) + 1)
-    if wings_stride is not None:
-        lay = lp.build_strided_layout(
-            s_wide, wings_stride, flat_points,
-            chunk=wings_chunk or lp.STRIDED_CHUNK, e_wide=e_wide,
-            tile=tile)
+    planned = lp.plan_strided_stage(s_wide, e_wide, core_lo, core_hi,
+                                    y_ref, flat_points, tile=tile,
+                                    chunk=wings_chunk or lp.STRIDED_CHUNK,
+                                    core_mode=core_mode)
+    if planned is not None:
+        wings_stride, lay, core_plan = planned
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
-        core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
-        y_ref = lay.gather(y_ref)
         w_start, w_n = lay.w_start, lay.w_n
         nlines = lay.nlines
     else:
+        wings_stride = None
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points,
                                            tile, chunk)
         nlines = keep
-    core_plan = lp.CorePlan(core_lo, core_hi, flat_points, tile,
-                            sort_key=y_ref, mode=core_mode)
+        core_plan = lp.CorePlan(core_lo, core_hi, flat_points, tile,
+                                sort_key=y_ref, mode=core_mode)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
     if core_plan.mode in ("seg", "segmix"):
@@ -684,23 +682,22 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     # (padded_strided_layout): each tile reads only its OWN chunks —
     # ~10% fewer chunk visits than the straddle-sharing CSR on the
     # headline pack, ~12% on the 7-gas stacked pack.
-    wings_stride = lp.pick_wings_stride(
-        tile, int((e_wide - s_wide).max(initial=0)) + 1)
-    if wings_stride is not None:
-        lay = lp.build_strided_layout(s_wide, wings_stride, num_points,
-                                      e_wide=e_wide, tile=tile)
-        arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
+    planned = lp.plan_strided_stage(s_wide, e_wide, core_lo, core_hi,
+                                    y_ref, num_points, tile=tile,
+                                    core_mode=core_mode)
+    if planned is not None:
+        wings_stride, lay, core_plan = planned
         # Dead slots: empty core windows (build_core_segments drops them).
-        core_lo, core_hi = lay.gather_windows(core_lo, core_hi)
-        y_ref = lay.gather(y_ref)
+        arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
         w_start, w_n = lay.w_start, lay.w_n
         nlines = lay.nlines
     else:
+        wings_stride = None
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points,
                                            tile, chunk)
         nlines = keep
-    core_plan = lp.CorePlan(core_lo, core_hi, num_points, tile,
-                            sort_key=y_ref, mode=core_mode)
+        core_plan = lp.CorePlan(core_lo, core_hi, num_points, tile,
+                                sort_key=y_ref, mode=core_mode)
 
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays_np.items()}
     if core_plan.mode in ("seg", "segmix"):
@@ -1071,12 +1068,11 @@ def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
 
     per = []
     for blk, s_loc, e_loc, c_lo, c_hi, y_ref in shard_data:
-        lay = lp.build_strided_layout(s_loc, stride, n_out,
-                                      e_wide=e_loc, tile=tile)
+        _, lay, cp = lp.plan_strided_stage(s_loc, e_loc, c_lo, c_hi,
+                                           y_ref, n_out, tile=tile,
+                                           core_mode="segmix",
+                                           stride=stride)
         consts = lp.permute_line_arrays(blk, lay.perm)
-        c_lo_p, c_hi_p = lay.gather_windows(c_lo, c_hi)
-        cp = lp.CorePlan(c_lo_p, c_hi_p, n_out, tile,
-                         sort_key=lay.gather(y_ref), mode="segmix")
         inst = cp.expand_line_arrays(consts, xp=np)
         per.append((lay, consts, cp, inst))
 
