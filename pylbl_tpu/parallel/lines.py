@@ -1104,6 +1104,240 @@ def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
     return plan, {"stride": stride, "n_out": n_out, "balanced": balanced}
 
 
+def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
+    """Per-(step, shard) Pallas plans for the RING decomposition.
+
+    Ring keeps per-device line memory at ~1/spec: only each shard's own
+    block of line CONSTANTS circulates over the spec axis, while every
+    shard holds small resident index plans describing how each arriving
+    block maps onto its own slab.  For the pair (visiting block b ->
+    slab d) the plan stores the strided-wings layout and mixed-slot core
+    plan built over just the block lines whose windows reach the slab,
+    with ``wsel``/``isel`` gather indices into the ARRIVING block (the
+    full permuted constants of the halo/balanced plans would defeat the
+    ring's memory point — indices are 4 bytes/line vs ~50 for the 13
+    constant fields).
+
+    The step schedule mirrors the XLA ring path: "up" step r delivers
+    block (d - r) mod spec, "down" step r block (d + r) mod spec.
+
+    Returns (step_plans list of per-step plan dicts stacked over [spec],
+    meta) or None when no stride fits.
+    """
+    from ..ops import lineshape_pallas as lp
+
+    spec = next(iter(blocks.values())).shape[0]
+    local_n = info["local_points"]
+    n_out = local_n
+    ring_steps = info["ring_steps"]
+    up_steps = ring_steps
+    dn_steps = min(ring_steps, spec - 1 - ring_steps)
+    schedule = ([("self", 0)]
+                + [("up", r) for r in range(1, up_steps + 1)]
+                + [("dn", r) for r in range(1, dn_steps + 1)])
+
+    per_block = []
+    window_max = 1
+    for b in range(spec):
+        blk = {k: v[b] for k, v in blocks.items()}
+        s_wide, e_wide, center = _shard_window_arrays(blk, static)
+        core_lo, core_hi, y_ref = _shard_core_windows(
+            blk, static, s_wide, e_wide, center, t_max, p_max_atm)
+        per_block.append((s_wide, e_wide, core_lo, core_hi, y_ref))
+        window_max = max(window_max,
+                         int((e_wide - s_wide).max(initial=0)) + 1)
+    stride = lp.pick_wings_stride(tile, window_max)
+    if stride is None:
+        return None
+
+    step_plans = []
+    for kind, r in schedule:
+        per = []
+        for d in range(spec):
+            b = (d - r) % spec if kind in ("self", "up") else (d + r) % spec
+            s_wide, e_wide, core_lo, core_hi, y_ref = per_block[b]
+            lo = d * local_n
+            sel = np.nonzero((e_wide >= lo)
+                             & (s_wide < lo + local_n))[0]
+            if sel.size == 0:
+                # All-dead plan: one dead chunk, zero core instances.
+                m = lp.STRIDED_CHUNK
+                num_tiles = (n_out - 1) // stride + 1
+                per.append({
+                    "wsel": np.zeros(m, np.int32),
+                    "wdead": np.ones(m, bool),
+                    "assign": np.full(m, -1.0, np.float32),
+                    "w_start": np.zeros(num_tiles, np.int32),
+                    "w_n": np.zeros(num_tiles, np.int32),
+                    "isel": np.zeros(0, np.int32),
+                    "idead": np.ones(0, bool),
+                    "seg0f": np.zeros(0, np.float32),
+                    "slotf": np.zeros(0, np.float32),
+                    "t_start": np.zeros(-(-n_out // tile), np.int32),
+                    "t_chunks": np.zeros(-(-n_out // tile), np.int32),
+                })
+                continue
+            _, lay, cp = lp.plan_strided_stage(
+                s_wide[sel] - lo, e_wide[sel] - lo,
+                core_lo[sel] - lo, core_hi[sel] - lo, y_ref[sel],
+                n_out, tile=tile, core_mode="segmix", stride=stride)
+            wsel = sel[lay.idx].astype(np.int32)
+            inst_idx = np.maximum(cp.inst_line, 0)
+            per.append({
+                "wsel": wsel,
+                "wdead": lay.dead,
+                "assign": lay.assign.astype(np.float32),
+                "w_start": lay.w_start,
+                "w_n": lay.w_n,
+                "isel": wsel[inst_idx],
+                "idead": (cp.inst_line < 0) | lay.dead[inst_idx],
+                "seg0f": cp.seg0.astype(np.float32),
+                "slotf": cp._slotf,
+                "t_start": cp.t_start,
+                "t_chunks": cp.t_chunks,
+            })
+        m_max = max(p["wsel"].size for p in per)
+        i_max = max(max(p["isel"].size for p in per), lp.SEG)
+        fills = {"wsel": 0, "wdead": True, "assign": -1.0, "isel": 0,
+                 "idead": True, "seg0f": 0.0, "slotf": 0.0}
+        sizes = {"wsel": m_max, "wdead": m_max, "assign": m_max,
+                 "isel": i_max, "idead": i_max, "seg0f": i_max,
+                 "slotf": i_max}
+        step_plans.append({
+            k: np.stack([_pad_1d(p[k], sizes[k], fills[k])
+                         if k in sizes else p[k] for p in per])
+            for k in per[0]})
+    return step_plans, {"stride": stride, "n_out": n_out,
+                        "schedule": schedule}
+
+
+def _make_pallas_ring_step(blocks, static, info, mesh, weight_density,
+                           tile, t_max, p_max_atm, interpret):
+    """The Pallas variant of the RING sharded step.
+
+    Each shard's raw line-constant block circulates with ``ppermute``
+    exactly as in the XLA ring path; at every stop the resident per-step
+    plan gathers the arriving constants into strided-wings layout order
+    and core instance order (one device gather per step, outside the
+    layer vmap), the per-layer physics runs on the gathered constants,
+    and the production strided-wings + mixed-slot-core kernels
+    accumulate into the local slab.  ``step.call_blocks`` carries
+    {"plans": per-step plan dicts, "blocks": the raw blocks}.
+    """
+    from ..ops import lineshape_pallas as lp
+
+    built = _build_ring_plans(blocks, static, info, tile, t_max,
+                              p_max_atm)
+    if built is None:
+        return None
+    step_plans, meta = built
+    stride = meta["stride"]
+    n_out = meta["n_out"]
+    schedule = meta["schedule"]
+    local_n = info["local_points"]
+    stacked = "flat_points" in info
+    spec = mesh.shape[SPEC_AXIS]
+    perm_up = [(i, (i + 1) % spec) for i in range(spec)]
+    perm_dn = [(i, (i - 1) % spec) for i in range(spec)]
+    fills = (0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0)
+
+    def shard_fn(call, q_table, temperature, pressure, vmr):
+        plans = [jax.tree.map(lambda a: a[0], p) for p in call["plans"]]
+        blk = {k: v[0] for k, v in call["blocks"].items()}
+        origin = jax.lax.axis_index(SPEC_AXIS) * local_n
+        batch = temperature.shape[0]
+        k = jnp.zeros((batch, n_out), jnp.float32) \
+            + (origin * 0).astype(jnp.float32)
+        cur_up = cur_dn = blk
+
+        for (kind, r), local in zip(schedule, plans):
+            if kind == "up" and r >= 1:
+                cur_up = jax.tree.map(
+                    lambda a: jax.lax.ppermute(a, SPEC_AXIS, perm_up),
+                    cur_up)
+            elif kind == "dn":
+                cur_dn = jax.tree.map(
+                    lambda a: jax.lax.ppermute(a, SPEC_AXIS, perm_dn),
+                    cur_dn)
+            cur = cur_dn if kind == "dn" else cur_up
+            # Layer-independent gathers: arriving block -> layout order
+            # (wings) and instance order (core); dead slots zero their
+            # strength so they contribute exactly 0.
+            wl = {key: jnp.take(v, local["wsel"], axis=0)
+                  for key, v in cur.items()}
+            il = {key: jnp.take(v, local["isel"], axis=0)
+                  for key, v in cur.items()}
+            for key in ("sw", "sw_pre"):
+                wl[key] = jnp.where(local["wdead"], 0.0, wl[key])
+                il[key] = jnp.where(local["idead"], 0.0, il[key])
+            wl["q_table"] = q_table
+            il["q_table"] = q_table
+            seg0f, idead, slotf = (local["seg0f"], local["idead"],
+                                   local["slotf"])
+
+            def assemble(t, p, x, wl=wl, il=il, local=local,
+                         seg0f=seg0f, idead=idead, slotf=slotf):
+                ka = line_kernel_arrays(wl, static, t, p, x)
+                rows = [(ka["c_int"] - origin).astype(jnp.float32),
+                        ka["c_frac"], ka["scaled_repwid"],
+                        ka["y"] * ka["y"],
+                        ka["prefactor"] * ka["y"] * jnp.float32(c.RSQRPI),
+                        (ka["s_idx"] - origin).astype(jnp.float32),
+                        (ka["e_idx"] - origin).astype(jnp.float32),
+                        local["assign"]]
+                soa = jnp.stack(rows, axis=0)
+                ka_i = line_kernel_arrays(il, static, t, p, x)
+                rows_i = (seg0f
+                          - (ka_i["c_int"] - origin).astype(jnp.float32),
+                          ka_i["c_frac"], ka_i["scaled_repwid"],
+                          ka_i["y"], ka_i["prefactor"],
+                          (ka_i["s_idx"] - origin).astype(jnp.float32)
+                          - seg0f,
+                          (ka_i["e_idx"] - origin).astype(jnp.float32)
+                          - seg0f,
+                          slotf)
+                core = jnp.stack([jnp.where(idead, jnp.float32(f), row)
+                                  for f, row in zip(fills, rows_i)],
+                                 axis=-2)
+                return soa, core
+
+            soa, core = jax.vmap(assemble)(temperature, pressure, vmr)
+            k = k + lp._pallas_pass_strided(
+                soa, local["w_start"], local["w_n"], n_out, tile, stride,
+                interpret=interpret, prepacked=True)
+            k = k + lp._pallas_seg_pass_mixed(
+                core, local["t_start"], local["t_chunks"], n_out, tile,
+                interpret=interpret)
+
+        if weight_density:
+            if stacked:
+                n_density = pressure[:, None] * vmr \
+                    / (c.KB * temperature[:, None])
+                pts = origin + jnp.arange(local_n)
+                gas_pt = jnp.minimum(pts // static["num_points"],
+                                     vmr.shape[1] - 1)
+                k = k * n_density[:, gas_pt]
+            else:
+                n_density = pressure * vmr / (c.KB * temperature)
+                k = k * n_density[:, None]
+        return k
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(SPEC_AXIS), P(), P(BATCH_AXIS), P(BATCH_AXIS),
+                  P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS, SPEC_AXIS),
+        check_vma=False)
+
+    @jax.jit
+    def step(call, q_table, temperature, pressure, vmr):
+        return fn(call, q_table, temperature, pressure, vmr)
+
+    step.call_blocks = {"plans": step_plans, "blocks": blocks}
+    step.backend = "pallas"
+    return step
+
+
 def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
                               tile, t_max, p_max_atm, interpret):
     """The Pallas variant of :func:`make_lines_sharded_step`: every shard
@@ -1229,27 +1463,26 @@ def make_lines_sharded_step(static, info, mesh, weight_density=True,
 
     ``backend``: "pallas" runs the production strided-wings + mixed-slot
     segment-core kernels per shard (requires ``blocks`` at build time;
-    balanced/halo modes); "xla" the portable accumulate_segment path (the
-    CPU/parity fallback, and the only ring-mode implementation); None
-    auto-selects pallas on TPU when applicable.  A pallas step consumes
-    its own plan pytree instead of the raw blocks — pass
-    ``step.call_blocks`` (device_put by the caller) as the first call
-    argument.
+    all three modes — ring circulates raw constant blocks against
+    resident per-step gather plans, :func:`_make_pallas_ring_step`);
+    "xla" the portable accumulate_segment path (the CPU/parity
+    fallback); None auto-selects pallas on TPU when applicable.  A
+    pallas step consumes its own plan pytree instead of the raw blocks —
+    pass ``step.call_blocks`` (device_put by the caller) as the first
+    call argument.
     """
     if backend is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
         backend = "pallas" if (on_tpu or interpret) and blocks is not None \
-            and info.get("mode") != "ring" else "xla"
+            else "xla"
     if backend == "pallas":
         if blocks is None:
             raise ValueError("backend='pallas' needs the host blocks at "
                              "build time")
-        if info.get("mode") == "ring":
-            raise ValueError("ring mode has no pallas variant; use "
-                             "backend='xla'")
-        step = _make_pallas_sharded_step(
-            blocks, static, info, mesh, weight_density,
-            tile or 1024, t_max, p_max_atm, interpret)
+        maker = _make_pallas_ring_step if info.get("mode") == "ring" \
+            else _make_pallas_sharded_step
+        step = maker(blocks, static, info, mesh, weight_density,
+                     tile or 1024, t_max, p_max_atm, interpret)
         if step is not None:
             return step
         # Window too wide for any stride: fall through to the XLA path.

@@ -283,7 +283,7 @@ def test_multigas_total_on_device(gas_packs, backend):
     assert rel.max() < 1e-4
 
 
-@pytest.mark.parametrize("mode", ["balanced", "halo"])
+@pytest.mark.parametrize("mode", ["balanced", "halo", "ring"])
 @pytest.mark.parametrize("backend", ["pallas", "xla"])
 def test_stacked_sharded_step_density_weighting(gas_packs, mode, backend):
     """weight_density=True on the raw stacked sharded step must weight
@@ -321,7 +321,7 @@ def test_stacked_sharded_step_density_weighting(gas_packs, mode, backend):
         assert rel.max() < 5e-4, f"gas {g} rel {rel.max()}"
 
 
-@pytest.mark.parametrize("mode", ["balanced", "halo"])
+@pytest.mark.parametrize("mode", ["balanced", "halo", "ring"])
 def test_multigas_sharded_pipeline_pallas(gas_packs, mode):
     """The config-5 composition with the Pallas per-shard kernels
     (strided wings + mixed-slot core, interpret mode on the CPU mesh)

@@ -253,7 +253,8 @@ def test_distributed_mesh_host_major_spec():
 
 
 @pytest.mark.parametrize("mode,batch,spec", [
-    ("balanced", 2, 4), ("balanced", 1, 8), ("halo", 2, 4), ("halo", 1, 8)])
+    ("balanced", 2, 4), ("balanced", 1, 8), ("halo", 2, 4), ("halo", 1, 8),
+    ("ring", 2, 4), ("ring", 1, 8)])
 def test_pallas_sharded_step_matches_host_engine(workload, mode, batch,
                                                  spec):
     """The Pallas (strided-wings + mixed-slot-core) sharded step: every
@@ -294,9 +295,10 @@ def test_pallas_sharded_step_matches_host_engine(workload, mode, batch,
         assert rel.max() < 5e-4
 
 
-def test_pallas_sharded_ring_mode_rejected(workload):
-    """Ring mode has no Pallas variant; asking for one must raise (the
-    auto backend silently picks xla instead)."""
+def test_pallas_ring_plans_are_index_resident(workload):
+    """The ring Pallas plans must hold GATHER INDICES, not expanded line
+    constants — resident constants would defeat the ring's ~1/spec
+    line-memory point (halo already covers that trade)."""
     from pylbl_tpu.parallel import (make_lines_sharded_step,
                                     shard_line_pack)
 
@@ -304,11 +306,17 @@ def test_pallas_sharded_ring_mode_rejected(workload):
     mesh = make_mesh(batch=1, spec=8)
     blocks, q_table, static, info = shard_line_pack(pack, grid, 8,
                                                     mode="ring")
-    with pytest.raises(ValueError, match="ring"):
-        make_lines_sharded_step(static, info, mesh, blocks=blocks,
-                                backend="pallas")
-    step = make_lines_sharded_step(static, info, mesh, blocks=blocks)
-    assert step.backend == "xla"
+    step = make_lines_sharded_step(static, info, mesh, blocks=blocks,
+                                   backend="pallas", interpret=True)
+    assert step.backend == "pallas"
+    call = step.call_blocks
+    assert set(call) == {"plans", "blocks"}
+    # Raw blocks circulate; plans carry only small per-step index/mask
+    # arrays (no "lines"/"inst" constant dicts like the halo plans).
+    for plan in call["plans"]:
+        assert "lines" not in plan and "inst" not in plan
+        assert plan["wsel"].dtype == np.int32
+        assert plan["isel"].dtype == np.int32
 
 
 def test_batched_pipeline_within_golden_band():
