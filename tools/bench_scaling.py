@@ -41,7 +41,7 @@ CONDITIONS = dict(temperature=np.asarray([288.99, 227.74]),
                   vmr=np.asarray([6.637074e-03, 4.763972e-06]))
 
 
-def measure(reps=3, mode="balanced"):
+def measure(reps=3, mode="balanced", specs=(1, 2, 4, 8)):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from pylbl_tpu.database.fixtures import synthetic_line_pack
@@ -74,7 +74,7 @@ def measure(reps=3, mode="balanced"):
         for i in range(LAYERS)])
 
     results = []
-    for spec in (1, 2, 4, 8):
+    for spec in specs:
         if spec > len(jax.devices()):
             break
         mesh = make_mesh(devices=jax.devices()[:spec], batch=1, spec=spec)
@@ -105,18 +105,25 @@ def measure(reps=3, mode="balanced"):
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "balanced"
-    results = measure(mode=mode)
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = {"mode": mode}
+    if mode == "all":
+        # Balanced is the default decomposition and carries the headline
+        # efficiency; halo (duplication) and ring (ppermute step count)
+        # run at the end points so the artifact records all three modes'
+        # duplication/ring_steps without 12 CPU compiles.
+        out["scaling"] = results = measure(mode="balanced")
+        out["halo"] = measure(mode="halo", specs=(2, 8))
+        out["ring"] = measure(mode="ring", specs=(2, 8))
+    else:
+        out["scaling"] = results = measure(mode=mode)
     at8 = [r for r in results if r["spec"] == 8]
-    print(json.dumps({
-        "mode": mode,
-        "scaling": results,
-        "efficiency_at_8": at8[0]["work_efficiency"] if at8 else None,
-        "note": ("work_efficiency = ideal per-device lines / max block; "
-                 "equals the per-device strong-scaling ceiling on real "
-                 "multi-chip hardware. wall_s on this VM shares 2 cores "
-                 "across all virtual devices (total-work check only)."),
-    }))
+    out["efficiency_at_8"] = at8[0]["work_efficiency"] if at8 else None
+    out["note"] = ("work_efficiency = ideal per-device lines / max block; "
+                   "equals the per-device strong-scaling ceiling on real "
+                   "multi-chip hardware. wall_s on this VM shares 2 cores "
+                   "across all virtual devices (total-work check only).")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
