@@ -16,4 +16,4 @@ from .spectroscopy import Spectroscopy  # noqa: F401
 from .webapi import HitranWebApi, TipsWebApi  # noqa: F401
 from .plugins import continua, cross_sections, models, molecular_lines  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "1.0.0"  # keep in sync with pyproject.toml

@@ -11,6 +11,10 @@ import numpy as np
 
 CSRC = Path(__file__).resolve().parents[2] / "csrc"
 LIB_PATH = CSRC / "libpylbl_native.so"
+# Installed layout: setup.py's build step drops the library next to the
+# package (pylbl_tpu/libpylbl_native.so); the repo layout builds it in
+# csrc/ on demand.
+PKG_LIB_PATH = Path(__file__).resolve().parents[1] / "libpylbl_native.so"
 
 _lib = None
 _build_failed = False
@@ -34,7 +38,8 @@ def load(build=True):
                 or source.stat().st_mtime > LIB_PATH.stat().st_mtime):
             subprocess.run(["make", "-C", str(CSRC)], check=True,
                            capture_output=True)
-        lib = ctypes.CDLL(str(LIB_PATH))
+        path = LIB_PATH if LIB_PATH.exists() else PKG_LIB_PATH
+        lib = ctypes.CDLL(str(path))
     except (OSError, subprocess.CalledProcessError):
         _build_failed = True
         return None
