@@ -149,11 +149,41 @@ class Dataset:
             return False
         return all(v.equals(other_vars[k]) for k, v in self._variables.items())
 
+    def _dim_sizes(self):
+        """Name -> size for every dimension used, consistency-checked."""
+        sizes = OrderedDict()
+        for name, var in self._variables.items():
+            for dim, size in zip(var.dims, var.data.shape):
+                if sizes.setdefault(dim, size) != size:
+                    raise ValueError(
+                        f"dimension {dim!r} has conflicting sizes "
+                        f"{sizes[dim]} and {size} (variable {name!r})")
+        return sizes
+
     def to_netcdf(self, path):
-        """Writes the dataset to a netCDF4 (HDF5) file via h5py."""
+        """Writes the dataset as a netCDF4-classic (HDF5) file via h5py.
+
+        Dimensions are written as real HDF5 dimension scales attached to
+        every variable (the netCDF-4 convention: CLASS=DIMENSION_SCALE +
+        DIMENSION_LIST references), so ``xarray.open_dataset`` / the
+        netCDF-C library reconstruct dims and coordinates — the reference
+        output contract (reference spectroscopy.py:208-235,
+        docs/source/absorption_output.rst:15-124).  A variable named like
+        one of its own dimensions becomes that dimension's coordinate
+        variable; other dimensions get the standard hidden placeholder
+        scale ("This is a netCDF dimension but not a netCDF variable.").
+        The private ``_pylbl_dims`` attribute is kept for
+        :func:`open_dataset`'s engine-free reader path.
+        """
         import h5py
+        dim_sizes = self._dim_sizes()
         with h5py.File(path, "w") as handle:
-            for name, var in self._variables.items():
+            handle.attrs["_NCProperties"] = np.bytes_(
+                "version=2,pylbl_tpu=1")
+            coords = {name for name, var in self._variables.items()
+                      if var.dims == (name,)}
+
+            def write_var(name, var):
                 data = var.data
                 if data.dtype.kind in "US":
                     data = np.asarray(
@@ -163,6 +193,27 @@ class Dataset:
                 dset.attrs["_pylbl_dims"] = ",".join(var.dims)
                 for key, value in var.attrs.items():
                     dset.attrs[key] = value
+                return dset
+
+            # Scales first (coordinate variables, then hidden placeholder
+            # dimensions), so data variables can attach to them.
+            for name in coords:
+                write_var(name, self._variables[name]).make_scale(name)
+            for dim, size in dim_sizes.items():
+                if dim in coords:
+                    continue  # the coordinate variable IS the scale
+                scale = handle.create_dataset(dim, shape=(size,),
+                                              dtype=np.float32)
+                scale.make_scale(dim)
+                scale.attrs["NAME"] = np.bytes_(
+                    "This is a netCDF dimension but not a netCDF "
+                    "variable.%10d" % size)
+            for name, var in self._variables.items():
+                if name in coords:
+                    continue
+                dset = write_var(name, var)
+                for axis, dim in enumerate(var.dims):
+                    dset.dims[axis].attach_scale(handle[dim])
             for key, value in self.attrs.items():
                 handle.attrs[key] = value
 
@@ -183,11 +234,17 @@ def open_dataset(path):
     attrs = {}
     with h5py.File(path, "r") as handle:
         for key, value in handle.attrs.items():
+            if key == "_NCProperties":
+                continue  # file-format metadata, not a user attribute
             attrs[key] = value
         for name, dset in handle.items():
             if not isinstance(dset, h5py.Dataset):
                 continue
             raw_attrs = dict(dset.attrs)
+            nc_name = raw_attrs.get("NAME")
+            if isinstance(nc_name, bytes) and nc_name.startswith(
+                    b"This is a netCDF dimension but not a netCDF"):
+                continue  # hidden dimension placeholder, not a variable
             if "_pylbl_dims" in raw_attrs:
                 dims_attr = raw_attrs.pop("_pylbl_dims")
                 if isinstance(dims_attr, bytes):
