@@ -455,14 +455,25 @@ def prep_config5(num_layers=16, block=4):
         path = Path(tempfile.mkdtemp(prefix="pylbl_bench_")) / "config5.h5"
         t0 = time.perf_counter()
         compute_s = write_s = 0.0
+
+        def dispatch(b):
+            sl = slice(b * block, (b + 1) * block)
+            return fn.total(t[sl], p[sl], x[sl])
+
         with StreamingWriter(path, num_layers, grid,
                              ["absorption_total"]) as writer:
+            # Double-buffered: block b+1 is DISPATCHED (async) before
+            # block b's result is fetched over the tunnel, so the device
+            # computes the next block while the previous one transfers
+            # (round-4's serialized fetch cost 0.9 of 2.5 s wall).  All
+            # dispatches stay inside the timed region.
+            dev = dispatch(0)
             for b in range(nblocks):
-                sl = slice(b * block, (b + 1) * block)
                 tc = time.perf_counter()
-                beta = np.asarray(fn.total(t[sl], p[sl], x[sl]),
-                                  np.float64)
+                nxt = dispatch(b + 1) if b + 1 < nblocks else None
+                beta = np.asarray(dev, np.float64)
                 compute_s += time.perf_counter() - tc
+                dev = nxt
                 tw = time.perf_counter()
                 for i in range(block):
                     # Internal grid -> user grid truncation (the

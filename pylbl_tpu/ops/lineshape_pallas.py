@@ -1500,14 +1500,20 @@ class CorePlan:
         return gather_group_params(kernel_arrays, dev[0], xp=xp)
 
     def wings_core(self, soa, w_start, w_n, core_params, chunk,
-                   interpret=False):
+                   interpret=False, prepacked=False):
         """Fused wings + core two-pass; single-layer ([8, N] soa) or
-        layer-batched ([B, 8, N] soa) by the soa/params rank."""
+        layer-batched ([B, 8, N] soa) by the soa/params rank.
+
+        ``prepacked`` (segmix only): the SoA's Y/PREF rows carry y^2 and
+        pref*y/sqrt(pi) — the splat wings then runs the cheaper
+        _lorentz_line_pre (the straddle CSR needs no ownership check, so
+        prepacking is valid there too)."""
         batched = np.ndim(core_params) == 3
         if self.mode == "segmix":
             wings_fn = _pallas_pass_batched if batched else _pallas_pass
             return (wings_fn(soa, w_start, w_n, self.num_points, self.tile,
-                             chunk, "wings", interpret)
+                             chunk, "wings_pre" if prepacked else "wings",
+                             interpret)
                     + self.seg_pass(core_params, interpret))
         if self.mode == "seg":
             fn = _pallas_wings_seg_batched if batched else _pallas_wings_seg
@@ -1601,11 +1607,18 @@ def _pallas_accumulate(soa, start, nchunks, num_points, tile, chunk,
                         pass_kind, interpret)
 
 
+def _pass_line_fn(pass_kind):
+    # Resolved at call time: _lorentz_line_pre is defined further down
+    # with the strided-layout machinery it belongs to.
+    return {"wings": _lorentz_line, "wings_pre": _lorentz_line_pre,
+            "core": _correction_line}[pass_kind]
+
+
 def _pallas_pass(soa, start, nchunks, num_points, tile, chunk,
                  pass_kind, interpret=False):
     num_tiles = -(-num_points // tile)
     padded_points = num_tiles * tile
-    line_fn = _lorentz_line if pass_kind == "wings" else _correction_line
+    line_fn = _pass_line_fn(pass_kind)
     kernel = functools.partial(_tile_kernel, line_fn, chunk, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1717,7 +1730,7 @@ def _pallas_pass_batched(soa, start, nchunks, num_points, tile, chunk,
     num_layers = soa.shape[0]
     num_tiles = -(-num_points // tile)
     padded_points = num_tiles * tile
-    line_fn = _lorentz_line if pass_kind == "wings" else _correction_line
+    line_fn = _pass_line_fn(pass_kind)
     kernel = functools.partial(_tile_kernel_batched, line_fn, chunk, tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1793,6 +1806,53 @@ def strided_line_ranges(assign, num_tiles, chunk=STRIDED_CHUNK):
     return lo_aligned.astype(np.int32), nchunks.astype(np.int32)
 
 
+def padded_strided_layout_tail(assign, num_tiles, chunk=STRIDED_CHUNK,
+                               tail=128):
+    """Two-class chunk layout: full ``chunk``-wide chunks plus short
+    ``tail``-wide chunks for each tile's remainder.
+
+    The single-class layout pads every tile's line count to a 256
+    multiple — on the 7-gas stacked pack the 1367 sparse per-gas tiles
+    average ~128 dead slots each (~1.46 line-visits per line).  Here
+    tile t gets ``n_t // chunk`` full chunks and ``ceil((n_t % chunk) /
+    tail)`` tail chunks, cutting the worst-case per-tile padding from
+    chunk-1 to tail-1 dead slots.  The kernel runs both classes inside
+    one grid step (separate double-buffered SMEM buffers), so the tail
+    DMAs overlap the full chunks' compute.  On real TPUs ``tail`` must
+    be a multiple of 128 (Mosaic lane-slice tiling; enforced by
+    _pallas_pass_strided).
+
+    Returns:
+        (perm [M] int64, w_start [T] i32 line units, w_n [T] i32 full
+        chunks, t_start [T] i32 line units, t_n [T] i32 tail chunks);
+        the tail region follows the (chunk-aligned) main region.
+    """
+    assign = np.asarray(assign, np.int64)
+    if assign.size == 0:
+        z = np.zeros(num_tiles, np.int32)
+        return np.full(chunk, -1, np.int64), z, z, z.copy(), z.copy()
+    order = np.argsort(assign, kind="stable")
+    cnt = np.bincount(assign, minlength=num_tiles)
+    full = cnt // chunk
+    tchunks = -(-(cnt - full * chunk) // tail)
+    main_first = np.concatenate(([0], np.cumsum(full)[:-1]))
+    w_start = (main_first * chunk).astype(np.int64)
+    main_total = int(full.sum()) * chunk
+    tail_first = np.concatenate(([0], np.cumsum(tchunks)[:-1]))
+    t_start = (main_total + tail_first * tail).astype(np.int64)
+    total = max(main_total + int(tchunks.sum()) * tail, chunk)
+    perm = np.full(total, -1, np.int64)
+    cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    a = assign[order]
+    rank = np.arange(order.size, dtype=np.int64) - cum[a]
+    in_main = rank < full[a] * chunk
+    pos = np.where(in_main, w_start[a] + rank,
+                   t_start[a] + (rank - full[a] * chunk))
+    perm[pos] = order
+    return (perm, w_start.astype(np.int32), full.astype(np.int32),
+            t_start.astype(np.int32), tchunks.astype(np.int32))
+
+
 def padded_strided_layout(assign, num_tiles, chunk=STRIDED_CHUNK):
     """Chunk-aligned per-tile line layout for the strided wings CSR.
 
@@ -1847,12 +1907,16 @@ class StridedLayout:
     drops them.
     """
 
-    def __init__(self, perm, w_start, w_n, assign):
+    def __init__(self, perm, w_start, w_n, assign, t_start=None,
+                 t_n=None, tail=None):
         self.perm = perm
         self.idx = np.maximum(perm, 0)
         self.dead = perm < 0
         self.w_start = w_start
         self.w_n = w_n
+        self.t_start = t_start   # tail-chunk CSR (two-class layout) or None
+        self.t_n = t_n
+        self.tail = tail
         self.assign = np.where(self.dead, -1, assign[self.idx])
         self.nlines = perm.size
 
@@ -1924,14 +1988,16 @@ def _balanced_tile_assign(s, e, stride, tile, num_tiles, chunk):
 
 
 def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK,
-                         e_wide=None, tile=DEFAULT_TILE):
+                         e_wide=None, tile=DEFAULT_TILE, tail=None):
     """Builds the :class:`StridedLayout` for widened window starts
     ``s_wide`` on a ``num_points`` grid with overlapped-tile ``stride``.
 
     With ``e_wide`` (inclusive widened window ends), lines are
     2-choice-balanced across the overlapped tiles that contain their
     window (:func:`_balanced_tile_assign`) to fill partial chunks;
-    without it, each line goes to its rightmost containing tile."""
+    without it, each line goes to its rightmost containing tile.
+    ``tail`` selects the two-class chunk layout
+    (:func:`padded_strided_layout_tail`)."""
     s = np.clip(np.asarray(s_wide, np.int64), 0, None)
     num_tiles = (num_points - 1) // stride + 1
     if e_wide is None:
@@ -1941,13 +2007,18 @@ def build_strided_layout(s_wide, stride, num_points, chunk=STRIDED_CHUNK,
                        num_points - 1)
         assign = _balanced_tile_assign(s, np.maximum(e, s), stride, tile,
                                        num_tiles, chunk)
+    if tail is not None:
+        perm, w_start, w_n, t_start, t_n = padded_strided_layout_tail(
+            assign, num_tiles, chunk, tail)
+        return StridedLayout(perm, w_start, w_n, assign, t_start, t_n,
+                             tail)
     perm, w_start, w_n = padded_strided_layout(assign, num_tiles, chunk)
     return StridedLayout(perm, w_start, w_n, assign)
 
 
 def plan_strided_stage(s_wide, e_wide, core_lo, core_hi, y_ref, n_out,
                        tile=DEFAULT_TILE, chunk=STRIDED_CHUNK,
-                       core_mode=None, stride=None):
+                       core_mode=None, stride=None, tail=None):
     """One-stop strided-wings + core plan for one line set and output grid.
 
     The single point where the stride pick, the chunk-aligned 2-choice
@@ -1978,7 +2049,7 @@ def plan_strided_stage(s_wide, e_wide, core_lo, core_hi, y_ref, n_out,
         if stride is None:
             return None
     lay = build_strided_layout(s_wide, stride, n_out, chunk=chunk,
-                               e_wide=e_wide, tile=tile)
+                               e_wide=e_wide, tile=tile, tail=tail)
     c_lo, c_hi = lay.gather_windows(core_lo, core_hi)
     cp = CorePlan(c_lo, c_hi, n_out, tile, sort_key=lay.gather(y_ref),
                   mode=core_mode)
@@ -2026,27 +2097,20 @@ def _lorentz_line_pre(point, c_int, c_frac, srw, ysq, pref_y, s, e, acc):
     return acc + jnp.where(mask, val, 0.0)
 
 
-def _tile_kernel_strided_pre(chunk, tile, stride, start_ref, nchunks_ref,
-                             lines_ref, out_ref, buf, sems):
-    """Prepacked strided wings: REQUIRES the chunk-aligned per-tile
-    layout (padded_strided_layout), whose chunks are private to their
-    tile — no foreign lines are ever fetched, so the per-line ownership
-    check is dropped (dead slots carry zero strength by construction)."""
-    t = pl.program_id(0)
-    base = start_ref[t]
-    nchunks = nchunks_ref[t]
-    lanes = tile // 8
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
-    point = (t * stride + row * lanes + col).astype(jnp.float32)
+def _strided_pre_chunk_loop(src_of, buf, sems, nchunks, chunk, point, acc,
+                            unroll=16):
+    """Double-buffered prepacked chunk accumulation, shared by the main
+    and tail chunk classes of the strided wings kernels.
 
+    ``src_of(k)``: the k-th chunk's lines_ref slice.  16x unroll,
+    measured sweep on the v5e headline workload: 4x 3.68 / 8x 3.22 /
+    16x 2.93 / 32x 3.52 ms/layer wings — larger blocks let Mosaic
+    pipeline the divide latency until code size wins at 32x.
+    """
     def chunk_dma(slot, k):
         slot = jnp.asarray(slot, jnp.int32)
-        offset = pl.multiple_of(
-            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
-        return pltpu.make_async_copy(
-            lines_ref.at[:, pl.ds(offset, chunk)], buf.at[slot],
-            sems.at[slot])
+        return pltpu.make_async_copy(src_of(k), buf.at[slot],
+                                     sems.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
@@ -2068,23 +2132,41 @@ def _tile_kernel_strided_pre(chunk, tile, stride, start_ref, nchunks_ref,
                 buf[slot, S_IDX, i], buf[slot, E_IDX, i], acc)
 
         def line_body(j, acc):
-            # 16x unroll, measured sweep on the v5e headline workload:
-            # 4x 3.68 / 8x 3.22 / 16x 2.93 / 32x 3.52 ms/layer wings —
-            # larger blocks let Mosaic pipeline the divide latency until
-            # code size wins at 32x.
-            i = j * jnp.int32(16)
+            i = j * jnp.int32(unroll)
             one_i32 = jnp.int32(1)
-            for u in range(16):
+            for u in range(unroll):
                 acc = one(i + u * one_i32, acc)
             return acc
 
         # Two-level summation (see _tile_kernel).
-        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 16),
+        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // unroll),
                                  line_body, jnp.zeros_like(acc))
         return acc + part
 
+    return jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+
+
+def _tile_kernel_strided_pre(chunk, tile, stride, start_ref, nchunks_ref,
+                             lines_ref, out_ref, buf, sems):
+    """Prepacked strided wings: REQUIRES the chunk-aligned per-tile
+    layout (padded_strided_layout), whose chunks are private to their
+    tile — no foreign lines are ever fetched, so the per-line ownership
+    check is dropped (dead slots carry zero strength by construction)."""
+    t = pl.program_id(0)
+    base = start_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+
+    def src_of(k):
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return lines_ref.at[:, pl.ds(offset, chunk)]
+
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
-    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    acc = _strided_pre_chunk_loop(src_of, buf, sems, nchunks_ref[t],
+                                  chunk, point, acc)
     out_ref[...] = acc[None]
 
 
@@ -2095,52 +2177,84 @@ def _tile_kernel_strided_pre_batched(chunk, tile, stride, start_ref,
     b = pl.program_id(0)
     t = pl.program_id(1)
     base = start_ref[t]
-    nchunks = nchunks_ref[t]
     lanes = tile // 8
     row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
     col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
     point = (t * stride + row * lanes + col).astype(jnp.float32)
 
-    def chunk_dma(slot, k):
-        slot = jnp.asarray(slot, jnp.int32)
+    def src_of(k):
         offset = pl.multiple_of(
             base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
-        return pltpu.make_async_copy(
-            lines_ref.at[b, :, pl.ds(offset, chunk)], buf.at[slot],
-            sems.at[slot])
-
-    @pl.when(nchunks > 0)
-    def _():
-        chunk_dma(0, 0).start()
-
-    def chunk_body(k, acc):
-        slot = jax.lax.rem(k, jnp.int32(2))
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            chunk_dma(1 - slot, k + 1).start()
-
-        chunk_dma(slot, k).wait()
-
-        def one(i, acc):
-            return _lorentz_line_pre(
-                point, buf[slot, C_INT, i], buf[slot, C_FRAC, i],
-                buf[slot, SRW, i], buf[slot, Y, i], buf[slot, PREF, i],
-                buf[slot, S_IDX, i], buf[slot, E_IDX, i], acc)
-
-        def line_body(j, acc):
-            i = j * jnp.int32(16)
-            one_i32 = jnp.int32(1)
-            for u in range(16):
-                acc = one(i + u * one_i32, acc)
-            return acc
-
-        part = jax.lax.fori_loop(jnp.int32(0), jnp.int32(chunk // 16),
-                                 line_body, jnp.zeros_like(acc))
-        return acc + part
+        return lines_ref.at[b, :, pl.ds(offset, chunk)]
 
     acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
-    acc = jax.lax.fori_loop(jnp.int32(0), nchunks, chunk_body, acc)
+    acc = _strided_pre_chunk_loop(src_of, buf, sems, nchunks_ref[t],
+                                  chunk, point, acc)
+    out_ref[...] = acc[None, None]
+
+
+def _tile_kernel_strided_pre_tail(chunk, tile, stride, tail, start_ref,
+                                  nchunks_ref, t_start_ref, t_n_ref,
+                                  lines_ref, out_ref, buf, tbuf, sems,
+                                  tsems):
+    """Two-class prepacked strided wings: full ``chunk``-wide chunks plus
+    short ``tail``-wide remainder chunks (padded_strided_layout_tail), in
+    one grid step — the tail DMAs overlap the full chunks' compute."""
+    t = pl.program_id(0)
+    base = start_ref[t]
+    t_base = t_start_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+
+    def src_of(k):
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return lines_ref.at[:, pl.ds(offset, chunk)]
+
+    def tail_src_of(k):
+        offset = pl.multiple_of(
+            t_base + jnp.asarray(k, jnp.int32) * jnp.int32(tail), 128)
+        return lines_ref.at[:, pl.ds(offset, tail)]
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = _strided_pre_chunk_loop(src_of, buf, sems, nchunks_ref[t],
+                                  chunk, point, acc)
+    acc = _strided_pre_chunk_loop(tail_src_of, tbuf, tsems, t_n_ref[t],
+                                  tail, point, acc)
+    out_ref[...] = acc[None]
+
+
+def _tile_kernel_strided_pre_tail_batched(chunk, tile, stride, tail,
+                                          start_ref, nchunks_ref,
+                                          t_start_ref, t_n_ref, lines_ref,
+                                          out_ref, buf, tbuf, sems, tsems):
+    """(layer, tile) grid variant of the two-class strided wings."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    base = start_ref[t]
+    t_base = t_start_ref[t]
+    lanes = tile // 8
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), dimension=1)
+    point = (t * stride + row * lanes + col).astype(jnp.float32)
+
+    def src_of(k):
+        offset = pl.multiple_of(
+            base + jnp.asarray(k, jnp.int32) * jnp.int32(chunk), 128)
+        return lines_ref.at[b, :, pl.ds(offset, chunk)]
+
+    def tail_src_of(k):
+        offset = pl.multiple_of(
+            t_base + jnp.asarray(k, jnp.int32) * jnp.int32(tail), 128)
+        return lines_ref.at[b, :, pl.ds(offset, tail)]
+
+    acc = jnp.zeros((8, tile // 8), dtype=jnp.float32)
+    acc = _strided_pre_chunk_loop(src_of, buf, sems, nchunks_ref[t],
+                                  chunk, point, acc)
+    acc = _strided_pre_chunk_loop(tail_src_of, tbuf, tsems, t_n_ref[t],
+                                  tail, point, acc)
     out_ref[...] = acc[None, None]
 
 
@@ -2285,21 +2399,35 @@ def _strided_combine(out, num_points, tile, stride):
 
 def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
                          chunk=STRIDED_CHUNK, interpret=False,
-                         prepacked=False):
+                         prepacked=False, t_start=None, t_n=None,
+                         tail=128):
     """Strided overlapped-tile wings pass; natural [..., num_points] out.
 
     ``prepacked``: the SoA's Y/PREF rows carry y^2 and pref*y/sqrt(pi)
     and chunks are private per tile (padded layout) — selects the
-    ownership-check-free kernels.
+    ownership-check-free kernels.  ``t_start``/``t_n`` select the
+    two-class tail-chunk kernels (padded_strided_layout_tail; prepacked
+    only).
     """
     num_tiles = (num_points - 1) // stride + 1
     lanes = tile // 8
     batched = soa.ndim == 3
+    tailed = t_start is not None
+    if tailed and not prepacked:
+        raise ValueError("tail chunks require the prepacked layout")
+    if tailed and tail % 128 != 0:
+        raise ValueError("tail width must be a multiple of 128 (Mosaic "
+                         "lane-slice tiling)")
     if batched:
         num_layers = soa.shape[0]
-        kernel = functools.partial(
-            _tile_kernel_strided_pre_batched if prepacked
-            else _tile_kernel_strided_batched, chunk, tile, stride)
+        if tailed:
+            kernel = functools.partial(
+                _tile_kernel_strided_pre_tail_batched, chunk, tile,
+                stride, tail)
+        else:
+            kernel = functools.partial(
+                _tile_kernel_strided_pre_batched if prepacked
+                else _tile_kernel_strided_batched, chunk, tile, stride)
         grid = (num_layers, num_tiles)
         out_spec = pl.BlockSpec(
             (1, 1, 8, lanes),
@@ -2309,9 +2437,13 @@ def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
                                          jnp.float32)
         semantics = ("arbitrary", "arbitrary")
     else:
-        kernel = functools.partial(
-            _tile_kernel_strided_pre if prepacked
-            else _tile_kernel_strided, chunk, tile, stride)
+        if tailed:
+            kernel = functools.partial(
+                _tile_kernel_strided_pre_tail, chunk, tile, stride, tail)
+        else:
+            kernel = functools.partial(
+                _tile_kernel_strided_pre if prepacked
+                else _tile_kernel_strided, chunk, tile, stride)
         grid = (num_tiles,)
         out_spec = pl.BlockSpec(
             (1, 8, lanes),
@@ -2320,16 +2452,21 @@ def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
         out_shape = jax.ShapeDtypeStruct((num_tiles, 8, lanes),
                                          jnp.float32)
         semantics = ("arbitrary",)
+    scratch = [pltpu.SMEM((2, 8, chunk), jnp.float32)]
+    if tailed:
+        scratch.append(pltpu.SMEM((2, 8, tail), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if tailed:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4 if tailed else 2,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.SMEM((2, 8, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
+    args = (start, nchunks, t_start, t_n, soa) if tailed \
+        else (start, nchunks, soa)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -2338,7 +2475,7 @@ def _pallas_pass_strided(soa, start, nchunks, num_points, tile, stride,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
         ),
-    )(start, nchunks, soa)
+    )(*args)
     return _strided_combine(out, num_points, tile, stride)
 
 

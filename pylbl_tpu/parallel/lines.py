@@ -363,7 +363,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                              tile=None, chunk=None, t_max=350.0,
                              p_max_atm=5.0, backend="pallas",
                              interpret=False, core_mode=None,
-                             wings_chunk=None):
+                             wings_chunk=None, wings_tail=128):
     """Builds the all-gases single-launch batched pipeline for one grid.
 
     The 7-gas quickstart runs as ONE wings pass + ONE rows pass per layer
@@ -470,14 +470,17 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     planned = lp.plan_strided_stage(s_wide, e_wide, core_lo, core_hi,
                                     y_ref, flat_points, tile=tile,
                                     chunk=wings_chunk or lp.STRIDED_CHUNK,
-                                    core_mode=core_mode)
+                                    core_mode=core_mode, tail=wings_tail)
     if planned is not None:
         wings_stride, lay, core_plan = planned
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
         w_start, w_n = lay.w_start, lay.w_n
+        tail_csr = (lay.t_start, lay.t_n) if lay.t_start is not None \
+            else None
         nlines = lay.nlines
     else:
         wings_stride = None
+        tail_csr = None
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points,
                                            tile, chunk)
         nlines = keep
@@ -503,10 +506,12 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     def _assemble(big, t, p, x):
         """One layer's kernel inputs: (wings SoA block, core block)."""
         ka = line_kernel_arrays(big["arrays"], static, t, p, x)
-        if wings_stride is not None:
-            # Prepacked wings rows (the strided kernels' _lorentz_line_pre
-            # contract): Y carries y^2, PREF carries pref*y/sqrt(pi); the
-            # private per-tile layout needs no ownership row.
+        if wings_stride is not None or core_plan.mode == "segmix":
+            # Prepacked wings rows (the _lorentz_line_pre contract): Y
+            # carries y^2, PREF carries pref*y/sqrt(pi).  Valid for the
+            # private per-tile strided layout AND the straddle-CSR splat
+            # fallback (neither needs an ownership row; splat masks by
+            # window).
             rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                     ka["scaled_repwid"], ka["y"] * ka["y"],
                     ka["prefactor"] * ka["y"] * jnp.float32(c.RSQRPI),
@@ -545,14 +550,18 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
             k = (lp._pallas_pass_strided(
                     soa, w_start, w_n, flat_points, tile, wings_stride,
                     chunk=wings_chunk or lp.STRIDED_CHUNK,
-                    interpret=interpret, prepacked=True)
+                    interpret=interpret, prepacked=True,
+                    t_start=tail_csr[0] if tail_csr else None,
+                    t_n=tail_csr[1] if tail_csr else None,
+                    tail=wings_tail or 128)
                  + core_plan.core_pass(core, interpret))
         else:
             k = core_plan.wings_core(
                 soa,
                 np.broadcast_to(w_start, (batch,) + w_start.shape),
                 np.broadcast_to(w_n, (batch,) + w_n.shape),
-                core, chunk, interpret=interpret)
+                core, chunk, interpret=interpret,
+                prepacked=core_plan.mode == "segmix")
         return k.reshape(batch, num_gases, num_points)
 
     def fn_jit(temperature, pressure, vmr):
@@ -598,15 +607,18 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.assemble_layer = assemble_layer
     fn.core_plan = core_plan
     fn.wings_stride = wings_stride
+    fn.tile = tile
     fn.wings_chunk = wings_chunk or lp.STRIDED_CHUNK
     fn.wings_prepacked = wings_stride is not None
     fn.wings_csr = (w_start, w_n)
+    fn.wings_tail_csr = tail_csr
+    fn.wings_tail = wings_tail
     return fn
 
 
 def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
                         tile=None, chunk=None, t_max=350.0, p_max_atm=5.0,
-                        interpret=False, core_mode=None):
+                        interpret=False, core_mode=None, wings_tail=None):
     """Builds the fused single-chip batched pipeline for one (gas, grid).
 
     Line constants transfer to the device once (~14 MB for a 300k-line
@@ -684,15 +696,18 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     # headline pack, ~12% on the 7-gas stacked pack.
     planned = lp.plan_strided_stage(s_wide, e_wide, core_lo, core_hi,
                                     y_ref, num_points, tile=tile,
-                                    core_mode=core_mode)
+                                    core_mode=core_mode, tail=wings_tail)
     if planned is not None:
         wings_stride, lay, core_plan = planned
         # Dead slots: empty core windows (build_core_segments drops them).
         arrays_np = lp.permute_line_arrays(arrays_np, lay.perm)
         w_start, w_n = lay.w_start, lay.w_n
+        tail_csr = (lay.t_start, lay.t_n) if lay.t_start is not None \
+            else None
         nlines = lay.nlines
     else:
         wings_stride = None
+        tail_csr = None
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points,
                                            tile, chunk)
         nlines = keep
@@ -722,10 +737,12 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     def _assemble(big, t, p, x):
         """One layer's kernel inputs: (wings SoA block, core block)."""
         ka = line_kernel_arrays(big["arrays"], static, t, p, x)
-        if wings_stride is not None:
-            # Prepacked wings rows (the strided kernels' _lorentz_line_pre
-            # contract): Y carries y^2, PREF carries pref*y/sqrt(pi); the
-            # private per-tile layout needs no ownership row.
+        if wings_stride is not None or core_plan.mode == "segmix":
+            # Prepacked wings rows (the _lorentz_line_pre contract): Y
+            # carries y^2, PREF carries pref*y/sqrt(pi).  Valid for the
+            # private per-tile strided layout AND the straddle-CSR splat
+            # fallback (neither needs an ownership row; splat masks by
+            # window).
             rows = [ka["c_int"].astype(jnp.float32), ka["c_frac"],
                     ka["scaled_repwid"], ka["y"] * ka["y"],
                     ka["prefactor"] * ka["y"] * jnp.float32(c.RSQRPI),
@@ -763,12 +780,16 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         if wings_stride is not None:
             wings = lp._pallas_pass_strided(
                 soa, w_start, w_n, num_points, tile, wings_stride,
-                interpret=interpret, prepacked=True)
+                interpret=interpret, prepacked=True,
+                t_start=tail_csr[0] if tail_csr else None,
+                t_n=tail_csr[1] if tail_csr else None,
+                tail=wings_tail or 128)
             return wings + core_plan.core_pass(core, interpret)
         return core_plan.wings_core(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
-            core, chunk, interpret=interpret)
+            core, chunk, interpret=interpret,
+            prepacked=core_plan.mode == "segmix")
 
     def fn_jit(temperature, pressure, vmr):
         return _fn_impl(big, temperature, pressure, vmr)
@@ -800,9 +821,12 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.assemble_layer = assemble_layer
     fn.core_plan = core_plan
     fn.wings_stride = wings_stride
+    fn.tile = tile
     fn.wings_chunk = lp.STRIDED_CHUNK
     fn.wings_prepacked = wings_stride is not None
     fn.wings_csr = (w_start, w_n)
+    fn.wings_tail_csr = tail_csr
+    fn.wings_tail = wings_tail
     return fn
 
 

@@ -589,13 +589,34 @@ class Spectroscopy:
                         self.lines_engine, self.continua_engine,
                         self.cross_sections_engine)
             pending = writer.pending_states()
-            for lo in range(0, pending.size, block_layers):
-                idx = pending[lo:lo + block_layers]
+            blocks_idx = [pending[lo:lo + block_layers]
+                          for lo in range(0, pending.size, block_layers)]
+
+            def dispatch(idx):
+                """Starts one block's stacked device compute (async)."""
                 t_blk = temperature[idx]
                 p_blk = pressure[idx]
                 vmr_blk = {x: v[idx] for x, v in vmr_full.items()}
-                lines_stacked = self._compute_lines_stacked(
-                    t_blk, p_blk, vmr_blk, remove_pedestal)
+                dev = self._lines_device_stacked(t_blk, p_blk, vmr_blk,
+                                                 remove_pedestal)
+                return t_blk, p_blk, vmr_blk, dev
+
+            # Double-buffered streaming: block i+1's kernels are
+            # DISPATCHED before block i's [B, G, grid] result is fetched,
+            # so the device computes ahead while the previous block
+            # crosses the (slow) host link and hits the file.
+            prev = dispatch(blocks_idx[0]) if blocks_idx else None
+            for bi, idx in enumerate(blocks_idx):
+                t_blk, p_blk, vmr_blk, dev = prev
+                prev = dispatch(blocks_idx[bi + 1]) \
+                    if bi + 1 < len(blocks_idx) else None
+                if dev is not None:
+                    names_s, k_dev = dev
+                    k_host = np.asarray(k_dev, np.float64)
+                    lines_stacked = {n: k_host[:, g]
+                                     for g, n in enumerate(names_s)}
+                else:
+                    lines_stacked = {}
                 if not lines_stacked and self.mesh is not None:
                     lines_stacked = self._compute_lines_sharded_pergas(
                         t_blk, p_blk, vmr_blk, remove_pedestal)

@@ -424,6 +424,88 @@ def test_padded_strided_layout_empty():
     assert np.all(perm == -1) and np.all(w_n == 0)
 
 
+def test_padded_strided_layout_tail_invariants():
+    """Two-class layout: every line appears exactly once, each tile's
+    lines fill n//chunk full chunks plus ceil(rem/tail) tail chunks,
+    padding is bounded by tail-1 per tile, and the tail region follows
+    the chunk-aligned main region."""
+    from pylbl_tpu.ops.lineshape_pallas import padded_strided_layout_tail
+
+    rng = np.random.default_rng(7)
+    num_tiles = 9
+    chunk, tail = 8, 2
+    assign = np.sort(rng.integers(0, num_tiles, size=133))
+    assign[40:60] = 3
+    assign = np.sort(assign)
+    perm, w_start, w_n, t_start, t_n = padded_strided_layout_tail(
+        assign, num_tiles, chunk=chunk, tail=tail)
+    live = perm[perm >= 0]
+    assert np.array_equal(np.sort(live), np.arange(assign.size))
+    cnt = np.bincount(assign, minlength=num_tiles)
+    assert np.array_equal(w_n, cnt // chunk)
+    rem = cnt - w_n * chunk
+    assert np.array_equal(t_n, -(-rem // tail))
+    # Padding only in tail chunks, at most tail-1 dead slots per tile.
+    total_slots = int(w_n.sum()) * chunk + int(t_n.sum()) * tail
+    assert total_slots - assign.size <= num_tiles * (tail - 1)
+    main_total = int(w_n.sum()) * chunk
+    assert np.all(t_start >= main_total)
+    assert np.all(w_start % chunk == 0)
+    assert np.all((t_start - main_total) % tail == 0)
+    for t in range(num_tiles):
+        main = perm[w_start[t]:w_start[t] + w_n[t] * chunk]
+        tl = perm[t_start[t]:t_start[t] + t_n[t] * tail]
+        owners = np.concatenate([main[main >= 0], tl[tl >= 0]])
+        assert np.all(assign[owners] == t)
+        assert owners.size == cnt[t]
+        assert np.all(main >= 0)  # main chunks are always full
+
+
+def test_strided_tail_pass_matches_single_class():
+    """The two-class tail kernel must reproduce the single-class strided
+    pass bit-for-tolerance on the same line set (interpret mode)."""
+    import jax.numpy as jnp
+    from pylbl_tpu.ops import lineshape_pallas as lp
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    tile, stride = 512, 256
+    num_lines = 700           # partial chunks on several tiles
+    s = np.sort(rng.integers(0, n - 300, size=num_lines))
+    e = s + rng.integers(50, 280, size=num_lines)
+    lay1 = lp.build_strided_layout(s, stride, n, chunk=256, e_wide=e,
+                                   tile=tile)
+    lay2 = lp.build_strided_layout(s, stride, n, chunk=256, e_wide=e,
+                                   tile=tile, tail=128)
+    assert lay2.t_start is not None and lay2.t_n.sum() > 0
+    pref_line = (rng.random(num_lines) + 0.5).astype(np.float32)
+
+    def soa_for(lay):
+        c_int = (s + e) / 2.0
+        rows = np.zeros((8, lay.nlines), np.float32)
+        idx, dead = lay.idx, lay.dead
+        rows[0] = c_int[idx]
+        rows[1] = 0.1
+        rows[2] = np.float32(0.02)
+        rows[3] = np.float32(1.5)             # y^2 (prepacked)
+        rows[4] = np.where(dead, 0.0, pref_line[idx])   # pref*y/sqrt(pi)
+        rows[5] = np.where(dead, -1, s[idx])
+        rows[6] = np.where(dead, -2, e[idx])
+        return jnp.asarray(rows)
+
+    out1 = np.asarray(lp._pallas_pass_strided(
+        soa_for(lay1), lay1.w_start, lay1.w_n, n, tile, stride, chunk=256,
+        interpret=True, prepacked=True))
+    out2 = np.asarray(lp._pallas_pass_strided(
+        soa_for(lay2), lay2.w_start, lay2.w_n, n, tile, stride, chunk=256,
+        interpret=True, prepacked=True, t_start=lay2.t_start,
+        t_n=lay2.t_n, tail=128))
+    # Same lines, same math; only the summation grouping differs.
+    np.testing.assert_allclose(out1, out2, rtol=2e-6,
+                               atol=abs(out1).max() * 1e-6)
+    assert abs(out1).max() > 0
+
+
 def test_build_core_segments_mixed_covers_every_instance():
     """Mixed-slot packing: every (line, segment) instance lands in exactly
     one lane of its TILE's stream with the right slot id, and tile

@@ -58,10 +58,18 @@ def expected_per_gas(gas_packs):
     return np.stack(out, axis=1)  # [B, G, points]
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
-def test_multigas_single_launch_matches_per_gas(gas_packs, backend):
+@pytest.mark.parametrize("backend,tile,wings_tail", [
+    ("xla", 256, None), ("pallas", 256, None), ("pallas", 512, 128),
+    ("pallas", 512, None)])
+def test_multigas_single_launch_matches_per_gas(gas_packs, backend, tile,
+                                                wings_tail):
     fn = make_multigas_batched_fn(gas_packs, GRID, backend=backend,
-                                  tile=256, chunk=128, interpret=True)
+                                  tile=tile, chunk=128, interpret=True,
+                                  wings_tail=wings_tail)
+    if wings_tail is not None:
+        # The strided layout must have engaged (tail is strided-only).
+        assert fn.wings_stride is not None
+        assert fn.wings_tail_csr is not None
     got = np.asarray(fn(T.astype(np.float32), P.astype(np.float32),
                         VMR.astype(np.float32)), np.float64)
     want = expected_per_gas(gas_packs)

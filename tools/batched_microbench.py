@@ -8,7 +8,7 @@ the chained fori_loop method (see tools/kernel_microbench.py for why
 single-dispatch timing lies on axon).
 
 Usage: python tools/batched_microbench.py [num_lines] [num_layers] [reps] [core_mode]
-       python tools/batched_microbench.py multigas [num_layers] [reps] [core_mode] [wings_chunk]
+       python tools/batched_microbench.py multigas [num_layers] [reps] [core_mode] [wings_chunk] [grid_step] [tile] [wings_tail]
 
 ``core_mode`` (seg | segmix) selects the core-pass formulation and
 ``wings_chunk`` (multigas form; 256 default, 128) the strided wings DMA
@@ -57,11 +57,16 @@ def main():
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     core_mode = sys.argv[4] if len(sys.argv) > 4 else None
 
-    grid = np.arange(1.0, 5000.0, 0.1)
     if multigas:
         wings_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
-        run_multigas_stages(grid, num_layers, reps, core_mode, wings_chunk)
+        step = float(sys.argv[6]) if len(sys.argv) > 6 else 0.1
+        tile = int(sys.argv[7]) if len(sys.argv) > 7 else None
+        wings_tail = int(sys.argv[8]) if len(sys.argv) > 8 else None
+        grid = np.arange(1.0, 5000.0, step)
+        run_multigas_stages(grid, num_layers, reps, core_mode, wings_chunk,
+                            tile, wings_tail)
         return
+    grid = np.arange(1.0, 5000.0, 0.1)
 
     pack = synthetic_line_pack(
         num_lines=num_lines, nu_min=0.5, nu_max=5100.0, seed=1,
@@ -174,7 +179,7 @@ def main():
 
 
 def run_multigas_stages(grid, num_layers, reps, core_mode=None,
-                        wings_chunk=None):
+                        wings_chunk=None, tile=None, wings_tail=None):
     """Stage split of the 7-gas stacked launch via its production handles."""
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
     import bench
@@ -184,7 +189,9 @@ def run_multigas_stages(grid, num_layers, reps, core_mode=None,
     flat_points = static["flat_points"]
     fn = pl_lines.make_multigas_batched_fn(packs, grid,
                                            core_mode=core_mode,
-                                           wings_chunk=wings_chunk)
+                                           wings_chunk=wings_chunk,
+                                           tile=tile,
+                                           wings_tail=wings_tail)
     core_plan = fn.core_plan
     wings_stride = fn.wings_stride
     ws_d, wn_d = map(jnp.asarray, fn.wings_csr)
@@ -221,19 +228,22 @@ def run_multigas_stages(grid, num_layers, reps, core_mode=None,
             return acc
         return lambda r: stage_(block0, r)
 
+    tail_csr = fn.wings_tail_csr
     if wings_stride is not None:
         def wings_pass(soa):
-            return lp._pallas_pass_strided(soa, ws_d, wn_d, flat_points,
-                                           lp.DEFAULT_TILE, wings_stride,
-                                           chunk=fn.wings_chunk,
-                                           prepacked=fn.wings_prepacked)
+            return lp._pallas_pass_strided(
+                soa, ws_d, wn_d, flat_points, fn.tile, wings_stride,
+                chunk=fn.wings_chunk, prepacked=fn.wings_prepacked,
+                t_start=tail_csr[0] if tail_csr else None,
+                t_n=tail_csr[1] if tail_csr else None,
+                tail=fn.wings_tail or 128)
     else:
         def wings_pass(soa):
             batch = soa.shape[0]
             return lp._pallas_pass_batched(
                 soa, jnp.broadcast_to(ws_d, (batch,) + ws_d.shape),
                 jnp.broadcast_to(wn_d, (batch,) + wn_d.shape), flat_points,
-                lp.DEFAULT_TILE, lp.DEFAULT_CHUNK, "wings")
+                fn.tile, lp.DEFAULT_CHUNK, "wings")
 
     @jax.jit
     def full_(reps):
