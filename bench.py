@@ -515,7 +515,14 @@ def prep_config5(num_layers=16, block=4):
 
 
 def config5_streamed(num_layers=16, block=4):
-    return prep_config5(num_layers, block)()
+    run = prep_config5(num_layers, block)
+    # The first streamed pass after the build pays one-off dispatch and
+    # cold-tunnel-transfer costs (measured 5.6 s vs 1.2 s steady); report
+    # the steady-state pass and carry the cold wall for transparency.
+    cold = run()
+    warm = run()
+    warm["cold_wall_s"] = cold.get("wall_s")
+    return warm
 
 
 def prep_sharded_1chip(pack, grid, num_layers=4):
