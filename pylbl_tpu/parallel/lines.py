@@ -1089,13 +1089,16 @@ def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
     stride = lp.pick_wings_stride(tile, window_max)
     if stride is None:
         return None
+    # Two-class tail layout for the gas-stacked decomposition: its
+    # per-gas tiles are sparse (see padded_strided_layout_tail).
+    tail = 128 if "flat_points" in info else None
 
     per = []
     for blk, s_loc, e_loc, c_lo, c_hi, y_ref in shard_data:
         _, lay, cp = lp.plan_strided_stage(s_loc, e_loc, c_lo, c_hi,
                                            y_ref, n_out, tile=tile,
                                            core_mode="segmix",
-                                           stride=stride)
+                                           stride=stride, tail=tail)
         consts = lp.permute_line_arrays(blk, lay.perm)
         inst = cp.expand_line_arrays(consts, xp=np)
         per.append((lay, consts, cp, inst))
@@ -1125,7 +1128,13 @@ def _build_shard_plans(blocks, static, info, tile, t_max, p_max_atm):
         "t_start": np.stack([cp.t_start for _, _, cp, _ in per]),
         "t_chunks": np.stack([cp.t_chunks for _, _, cp, _ in per]),
     }
-    return plan, {"stride": stride, "n_out": n_out, "balanced": balanced}
+    if tail is not None:
+        # Wings tail-chunk CSR ("t_start"/"t_chunks" above are the CORE
+        # plan's tile arrays; distinct keys).
+        plan["tw_start"] = np.stack([lay.t_start for lay, _, _, _ in per])
+        plan["tw_n"] = np.stack([lay.t_n for lay, _, _, _ in per])
+    return plan, {"stride": stride, "n_out": n_out, "balanced": balanced,
+                  "tail": tail}
 
 
 def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
@@ -1173,6 +1182,7 @@ def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
     stride = lp.pick_wings_stride(tile, window_max)
     if stride is None:
         return None
+    tail = 128 if "flat_points" in info else None
 
     step_plans = []
     for kind, r in schedule:
@@ -1187,7 +1197,7 @@ def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
                 # All-dead plan: one dead chunk, zero core instances.
                 m = lp.STRIDED_CHUNK
                 num_tiles = (n_out - 1) // stride + 1
-                per.append({
+                entry = {
                     "wsel": np.zeros(m, np.int32),
                     "wdead": np.ones(m, bool),
                     "assign": np.full(m, -1.0, np.float32),
@@ -1199,15 +1209,20 @@ def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
                     "slotf": np.zeros(0, np.float32),
                     "t_start": np.zeros(-(-n_out // tile), np.int32),
                     "t_chunks": np.zeros(-(-n_out // tile), np.int32),
-                })
+                }
+                if tail is not None:
+                    entry["tw_start"] = np.zeros(num_tiles, np.int32)
+                    entry["tw_n"] = np.zeros(num_tiles, np.int32)
+                per.append(entry)
                 continue
             _, lay, cp = lp.plan_strided_stage(
                 s_wide[sel] - lo, e_wide[sel] - lo,
                 core_lo[sel] - lo, core_hi[sel] - lo, y_ref[sel],
-                n_out, tile=tile, core_mode="segmix", stride=stride)
+                n_out, tile=tile, core_mode="segmix", stride=stride,
+                tail=tail)
             wsel = sel[lay.idx].astype(np.int32)
             inst_idx = np.maximum(cp.inst_line, 0)
-            per.append({
+            entry = {
                 "wsel": wsel,
                 "wdead": lay.dead,
                 "assign": lay.assign.astype(np.float32),
@@ -1219,7 +1234,11 @@ def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
                 "slotf": cp._slotf,
                 "t_start": cp.t_start,
                 "t_chunks": cp.t_chunks,
-            })
+            }
+            if tail is not None:
+                entry["tw_start"] = lay.t_start
+                entry["tw_n"] = lay.t_n
+            per.append(entry)
         m_max = max(p["wsel"].size for p in per)
         i_max = max(max(p["isel"].size for p in per), lp.SEG)
         fills = {"wsel": 0, "wdead": True, "assign": -1.0, "isel": 0,
@@ -1232,7 +1251,7 @@ def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
                          if k in sizes else p[k] for p in per])
             for k in per[0]})
     return step_plans, {"stride": stride, "n_out": n_out,
-                        "schedule": schedule}
+                        "schedule": schedule, "tail": tail}
 
 
 def _make_pallas_ring_step(blocks, static, info, mesh, weight_density,
@@ -1258,6 +1277,7 @@ def _make_pallas_ring_step(blocks, static, info, mesh, weight_density,
     stride = meta["stride"]
     n_out = meta["n_out"]
     schedule = meta["schedule"]
+    tail = meta["tail"]
     local_n = info["local_points"]
     stacked = "flat_points" in info
     spec = mesh.shape[SPEC_AXIS]
@@ -1328,7 +1348,9 @@ def _make_pallas_ring_step(blocks, static, info, mesh, weight_density,
             soa, core = jax.vmap(assemble)(temperature, pressure, vmr)
             k = k + lp._pallas_pass_strided(
                 soa, local["w_start"], local["w_n"], n_out, tile, stride,
-                interpret=interpret, prepacked=True)
+                interpret=interpret, prepacked=True,
+                t_start=local.get("tw_start"), t_n=local.get("tw_n"),
+                tail=tail or 128)
             k = k + lp._pallas_seg_pass_mixed(
                 core, local["t_start"], local["t_chunks"], n_out, tile,
                 interpret=interpret)
@@ -1382,6 +1404,7 @@ def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
     stride = meta["stride"]
     n_out = meta["n_out"]
     balanced = meta["balanced"]
+    tail = meta["tail"]
     local_n = info["local_points"]
     stacked = "flat_points" in info
     fills = (0.0, 0.0, 1.0, 100.0, 0.0, 1.0, -1.0, 0.0)
@@ -1427,7 +1450,9 @@ def _make_pallas_sharded_step(blocks, static, info, mesh, weight_density,
         soa, core = jax.vmap(assemble)(temperature, pressure, vmr)
         k = lp._pallas_pass_strided(
             soa, local["w_start"], local["w_n"], n_out, tile, stride,
-            interpret=interpret, prepacked=True)
+            interpret=interpret, prepacked=True,
+            t_start=local.get("tw_start"), t_n=local.get("tw_n"),
+            tail=tail or 128)
         k = k + lp._pallas_seg_pass_mixed(
             core, local["t_start"], local["t_chunks"], n_out, tile,
             interpret=interpret)
