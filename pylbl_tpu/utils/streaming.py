@@ -45,6 +45,21 @@ class StreamingWriter:
             })
             grid_var = self._h5.create_dataset("wavenumber", data=self.grid)
             grid_var.attrs["units"] = "cm-1"
+            # netCDF-4 dimension scales (same convention as
+            # xrlite.Dataset.to_netcdf): the wavenumber coordinate IS its
+            # dimension's scale; state/extra dims get hidden placeholder
+            # scales so xarray/netCDF-C reconstruct dims.
+            grid_var.make_scale("wavenumber")
+            dims = ["state"] + list(self.extra_dims) + ["wavenumber"]
+            sizes = {"state": self.num_states, **self.extra_dims,
+                     "wavenumber": self.grid.size}
+            for dim in dims[:-1]:
+                scale = self._h5.create_dataset(dim, shape=(sizes[dim],),
+                                                dtype=np.float32)
+                scale.make_scale(dim)
+                scale.attrs["NAME"] = np.bytes_(
+                    "This is a netCDF dimension but not a netCDF "
+                    "variable.%10d" % sizes[dim])
             shape = (self.num_states,) + tuple(self.extra_dims.values()) + \
                 (self.grid.size,)
             chunk = (1,) + tuple(self.extra_dims.values()) + \
@@ -54,8 +69,9 @@ class StreamingWriter:
                                                chunks=chunk,
                                                dtype=np.float64)
                 dset.attrs["units"] = "m-1"
-                dset.attrs["_pylbl_dims"] = ",".join(
-                    ["state"] + list(self.extra_dims) + ["wavenumber"])
+                dset.attrs["_pylbl_dims"] = ",".join(dims)
+                for axis, dim in enumerate(dims):
+                    dset.dims[axis].attach_scale(self._h5[dim])
             self._h5.create_dataset("_complete",
                                     data=np.zeros(self.num_states, np.int8))
         self._complete = self._h5["_complete"]

@@ -78,3 +78,27 @@ def test_spectroscopy_batched_lines_path(tmp_path, atmosphere_dataset,
         np.testing.assert_allclose(
             full.data_vars["H2O_absorption"].data[i, 0], expected,
             rtol=1e-12)
+
+
+def test_streaming_writer_dimension_scales(tmp_path):
+    """Streamed files carry the same netCDF-4 dimension-scale convention
+    as Dataset.to_netcdf, so xarray/netCDF-C reconstruct dims."""
+    import h5py
+    import numpy as np
+    from pylbl_tpu.utils.streaming import StreamingWriter
+
+    grid = np.arange(1.0, 5.0, 0.5)
+    path = tmp_path / "scales.nc"
+    with StreamingWriter(path, 3, grid, ["a"],
+                         extra_dims={"mechanism": 2}) as w:
+        for i in range(3):
+            w.write_state(i, {"a": np.full((2, grid.size), float(i))})
+    with h5py.File(path) as f:
+        assert f["wavenumber"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        for dim, size in (("state", 3), ("mechanism", 2)):
+            assert f[dim].attrs["CLASS"] == b"DIMENSION_SCALE"
+            assert f[dim].attrs["NAME"].startswith(
+                b"This is a netCDF dimension but not a netCDF variable.")
+            assert f[dim].shape == (size,)
+        assert [d[0].name.lstrip("/") for d in f["a"].dims] == \
+            ["state", "mechanism", "wavenumber"]
