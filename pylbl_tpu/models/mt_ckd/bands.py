@@ -19,8 +19,15 @@ from ...utils.constants import LOSCHMIDT, P0, C2, T0, T273
 
 
 def _col(value, xp=np):
-    """Shapes a scalar or [B] layer quantity for grid broadcasting."""
-    return xp.asarray(value, dtype=xp.float64)[..., None]
+    """Shapes a scalar or [B] layer quantity for grid broadcasting.
+
+    float64 on the host path; on a device xp without x64 enabled, ask
+    for the default float dtype instead of warning-and-truncating."""
+    if xp is np:
+        return np.asarray(value, dtype=np.float64)[..., None]
+    dtype = xp.float64 if xp.asarray(0.0).dtype == xp.float64 \
+        else xp.float32
+    return xp.asarray(value, dtype=dtype)[..., None]
 
 
 def dry_air_number_density(pressure, temperature, vmr):
