@@ -1240,7 +1240,8 @@ def _build_ring_plans(blocks, static, info, tile, t_max, p_max_atm):
                 entry["tw_n"] = lay.t_n
             per.append(entry)
         m_max = max(p["wsel"].size for p in per)
-        i_max = max(max(p["isel"].size for p in per), lp.SEG)
+        # 128: lane-aligned even when every pair in a step is empty.
+        i_max = max(max(p["isel"].size for p in per), 128)
         fills = {"wsel": 0, "wdead": True, "assign": -1.0, "isel": 0,
                  "idead": True, "seg0f": 0.0, "slotf": 0.0}
         sizes = {"wsel": m_max, "wdead": m_max, "assign": m_max,
