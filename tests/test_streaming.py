@@ -102,3 +102,42 @@ def test_streaming_writer_dimension_scales(tmp_path):
             assert f[dim].shape == (size,)
         assert [d[0].name.lstrip("/") for d in f["a"].dims] == \
             ["state", "mechanism", "wavenumber"]
+
+
+def test_streamed_resume_skips_complete_states(tmp_path,
+                                               atmosphere_dataset,
+                                               coarse_grid):
+    """compute_absorption_streamed(resume=True) must compute ONLY the
+    pending states (the double-buffered loop dispatches an arbitrary,
+    possibly non-contiguous pending set) and leave pre-written states
+    untouched."""
+    db = Database(tmp_path / "r.db")
+    db.ingest_line_pack(synthetic_line_pack(num_lines=200, seed=21))
+    spec = Spectroscopy(atmosphere_dataset, coarse_grid, db)
+    full = spec.compute_absorption_streamed(tmp_path / "full.nc",
+                                            block_layers=2)
+    ref = open_dataset(full)["H2O_absorption"].data
+
+    # Pre-populate states 0 and 2 with sentinels; resume must fill the
+    # others with the real values and leave the sentinels alone.
+    num_states = ref.shape[0]
+    assert num_states >= 3
+    import h5py
+    import json
+    with h5py.File(tmp_path / "full.nc", "r") as f:
+        meta = json.loads(f.attrs["pylbl_tpu_stream"])
+        var_names = meta["variables"]     # writer's gas order
+        shape_tail = f[var_names[0]].shape[1:]
+    path = tmp_path / "resume.nc"
+    with StreamingWriter(path, num_states, coarse_grid, var_names,
+                         extra_dims={"mechanism": shape_tail[0]}) as w:
+        for i in (0, 2):
+            w.write_state(i, {n: np.full(shape_tail, -7.0)
+                              for n in var_names})
+    out = spec.compute_absorption_streamed(path, block_layers=2)
+    back = open_dataset(out)["H2O_absorption"].data
+    assert np.all(back[0] == -7.0) and np.all(back[2] == -7.0)
+    for i in range(num_states):
+        if i in (0, 2):
+            continue
+        np.testing.assert_allclose(back[i], ref[i], rtol=1e-12)
