@@ -481,8 +481,13 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     else:
         wings_stride = None
         tail_csr = None
+        # Splat CSR chunk: 512 measured AS FAST as 128 despite 1.68x
+        # visit slop from the per-tile chunk rounding at 0.01 cm-1 (the
+        # kernel's wall is visit-insensitive there — ~46M cycles/layer
+        # at 3.0M and 4.3M visits alike); 1024 fails to compile (SMEM).
+        splat_chunk = wings_chunk or chunk
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, flat_points,
-                                           tile, chunk)
+                                           tile, splat_chunk)
         nlines = keep
         core_plan = lp.CorePlan(core_lo, core_hi, flat_points, tile,
                                 sort_key=y_ref, mode=core_mode)
@@ -560,7 +565,7 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
                 soa,
                 np.broadcast_to(w_start, (batch,) + w_start.shape),
                 np.broadcast_to(w_n, (batch,) + w_n.shape),
-                core, chunk, interpret=interpret,
+                core, splat_chunk, interpret=interpret,
                 prepacked=core_plan.mode == "segmix")
         return k.reshape(batch, num_gases, num_points)
 
@@ -608,7 +613,8 @@ def make_multigas_batched_fn(packs, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.core_plan = core_plan
     fn.wings_stride = wings_stride
     fn.tile = tile
-    fn.wings_chunk = wings_chunk or lp.STRIDED_CHUNK
+    fn.wings_chunk = (wings_chunk or lp.STRIDED_CHUNK) \
+        if wings_stride is not None else splat_chunk
     fn.wings_prepacked = wings_stride is not None
     fn.wings_csr = (w_start, w_n)
     fn.wings_tail_csr = tail_csr
@@ -708,8 +714,9 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     else:
         wings_stride = None
         tail_csr = None
+        splat_chunk = chunk   # see make_multigas_batched_fn
         w_start, w_n = lp.tile_line_ranges(s_wide, e_wide, num_points,
-                                           tile, chunk)
+                                           tile, splat_chunk)
         nlines = keep
         core_plan = lp.CorePlan(core_lo, core_hi, num_points, tile,
                                 sort_key=y_ref, mode=core_mode)
@@ -788,7 +795,7 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
         return core_plan.wings_core(
             soa, np.broadcast_to(w_start, (batch,) + w_start.shape),
             np.broadcast_to(w_n, (batch,) + w_n.shape),
-            core, chunk, interpret=interpret,
+            core, splat_chunk, interpret=interpret,
             prepacked=core_plan.mode == "segmix")
 
     def fn_jit(temperature, pressure, vmr):
@@ -822,7 +829,8 @@ def make_batched_tpu_fn(pack, grid, cut_off=c.DEFAULT_CUT_OFF,
     fn.core_plan = core_plan
     fn.wings_stride = wings_stride
     fn.tile = tile
-    fn.wings_chunk = lp.STRIDED_CHUNK
+    fn.wings_chunk = lp.STRIDED_CHUNK \
+        if wings_stride is not None else splat_chunk
     fn.wings_prepacked = wings_stride is not None
     fn.wings_csr = (w_start, w_n)
     fn.wings_tail_csr = tail_csr

@@ -243,7 +243,7 @@ def run_multigas_stages(grid, num_layers, reps, core_mode=None,
             return lp._pallas_pass_batched(
                 soa, jnp.broadcast_to(ws_d, (batch,) + ws_d.shape),
                 jnp.broadcast_to(wn_d, (batch,) + wn_d.shape), flat_points,
-                fn.tile, lp.DEFAULT_CHUNK, "wings")
+                fn.tile, fn.wings_chunk, "wings_pre")
 
     @jax.jit
     def full_(reps):
