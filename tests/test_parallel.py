@@ -349,3 +349,34 @@ def test_batched_pipeline_within_golden_band():
                                  float(x[i]), v0, vn, npv, cut_off=25)
         rel = np.abs(got[i] - want).max() / want.max()
         assert rel < 2.4e-5, f"layer {i}: {rel:.2e} exceeds half-band"
+
+
+def test_bitwise_determinism_across_calls(workload):
+    """SURVEY §5: no sanitizers are needed because the formulation is
+    gather-based — but that claim must be PINNED: repeated evaluation of
+    the same inputs must be bit-identical (no nondeterministic
+    scatter-add ordering), on both backends and through the sharded
+    step."""
+    import jax.numpy as jnp
+    from pylbl_tpu.parallel import (make_batched_tpu_fn,
+                                    make_lines_sharded_step,
+                                    shard_line_pack)
+
+    pack, grid = workload
+    t = np.asarray([288.99, 227.74], np.float32)
+    p = np.asarray([98388.0, 1032.0], np.float32)
+    x = np.asarray([6.637074e-03, 4.763972e-06], np.float32)
+
+    fn = make_batched_tpu_fn(pack, grid, tile=256, chunk=128,
+                             interpret=True)
+    a = np.asarray(fn(t, p, x))
+    b = np.asarray(fn(t, p, x))
+    np.testing.assert_array_equal(a, b)
+
+    mesh = make_mesh(batch=2, spec=4)
+    blocks, q_table, static, info = shard_line_pack(pack, grid, 4,
+                                                    mode="balanced")
+    step = make_lines_sharded_step(static, info, mesh)
+    s1 = np.asarray(step(blocks, q_table, t, p, x))
+    s2 = np.asarray(step(blocks, q_table, t, p, x))
+    np.testing.assert_array_equal(s1, s2)
