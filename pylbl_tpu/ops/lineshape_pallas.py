@@ -37,8 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .voigt import (voigt_correction, voigt_correction_k1,
-                    voigt_correction_k12, voigt_correction_k123,
-                    voigt_lorentz)
+                    voigt_correction_k12, voigt_correction_k123)
 from ..utils.constants import RSQRPI
 
 # SoA row order in the packed (8, N) line block.
