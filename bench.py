@@ -689,6 +689,13 @@ def main():
              "parity": parity(spectrum, expected, pack.nu.size)}
     if method != "chained-diff":
         extra["headline_method"] = method
+    # Provisional headline record NOW: if the process dies mid-extras
+    # (driver kill window, tunnel wedge past every guard), the captured
+    # tail still ends in a parseable headline line.  The final compact
+    # line printed last supersedes it in an intact run.
+    provisional = compact_summary(rate, vs_baseline, extra)
+    provisional["stages"] = "pending"
+    print(json.dumps(provisional), flush=True)
 
     # TPU extra stages, sequential in THIS process (exclusive device).
     # Each is deadline- and alarm-guarded so a pathological remote
@@ -727,7 +734,8 @@ def main():
     # ~7 KB, so its head (the headline fields) was truncated out of the
     # round-2..4 artifacts.  Print a compact summary line LAST — any tail
     # capture retains it, and a last-line JSON parse succeeds.
-    print(json.dumps(compact_summary(rate, vs_baseline, extra)))
+    print(json.dumps(compact_summary(rate, vs_baseline, extra)),
+          flush=True)
 
 
 def _stage_rate(v):
